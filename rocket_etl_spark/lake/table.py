@@ -1,0 +1,211 @@
+"""Local lake table with Iceberg commit semantics over parquet.
+
+The north rule targets Iceberg MERGE with snapshot-id + epoch fencing
+(BASELINE.json:14), but no Iceberg runtime jar exists in this sandbox
+(SURVEY.md §0).  This backend reproduces the load-bearing semantics:
+
+* **Snapshot log** — table state is an immutable chain of JSON snapshot
+  files; a snapshot lists, per hash-bucket, the parquet data files (with
+  the schema version each was written under) plus the epoch id that
+  produced it.
+* **Atomic compare-and-swap commit** — a commit materializes the full
+  snapshot JSON to a temp file, then ``os.link``s it to
+  ``snapshot-<n+1>.json``.  ``link`` fails if the name exists, so exactly
+  one writer wins snapshot n+1 and a torn/partial snapshot can never be
+  observed (the temp is fully written and fsynced first).
+* **Epoch fencing** — ``committed_epochs()`` is derived from the chain;
+  a replayed ``foreachBatch`` epoch whose id is already in the chain is
+  skipped, giving exactly-once MERGE effects under at-least-once retries.
+* **Bucketed copy-on-write** — rows hash into ``num_buckets`` buckets by
+  key (``pmod(xxhash64(repo, path), N)``); a MERGE rewrites only touched
+  buckets and re-links the rest from the parent snapshot.  This is the
+  property that keeps a 100 TB table mergeable: commit cost scales with
+  the change set, not the table.
+
+On a cluster with the Iceberg runtime, ``rocket_etl_spark.lake`` is the
+swap point: the same ``merge_batch`` contract maps onto ``MERGE INTO``
+against a real catalog table partitioned by ``bucket(N, repo)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from collections.abc import Sequence
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from rocket_etl_spark.schema.registry import TableSchema, project_to
+
+_SNAP_RE = re.compile(r"snapshot-(\d{8})\.json$")
+
+
+def bucket_of(key_cols: Sequence[str], num_buckets: int) -> Column:
+    """Deterministic bucket id for a row: pmod(xxhash64(keys), N)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = Path(path)
+        self.snap_dir = self.path / "snapshots"
+        self.data_dir = self.path / "data"
+
+    # ------------------------------------------------------------------ DDL
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str | Path,
+        schema: TableSchema,
+        key_cols: Sequence[str],
+        order_col: str,
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        """Create the table (snapshot 0, empty).  Idempotent-unsafe by
+        design: fails if a snapshot chain already exists."""
+        t = LakeTable(spark, path)
+        t.snap_dir.mkdir(parents=True, exist_ok=True)
+        t.data_dir.mkdir(parents=True, exist_ok=True)
+        snap = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "epoch_id": None,
+            "key_cols": list(key_cols),
+            "order_col": order_col,
+            "num_buckets": num_buckets,
+            "current_schema_version": schema.version,
+            "schemas": {str(schema.version): schema.to_json()},
+            "buckets": {},
+            "stats": {"rows_total": 0},
+        }
+        if not t._try_write_snapshot(snap):
+            raise FileExistsError(f"table already exists at {path}")
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str | Path) -> "LakeTable":
+        t = LakeTable(spark, path)
+        if t.current_snapshot() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    # ------------------------------------------------------------ snapshots
+    def _snapshot_files(self) -> list[Path]:
+        if not self.snap_dir.exists():
+            return []
+        out = []
+        for p in self.snap_dir.iterdir():
+            if _SNAP_RE.search(p.name):
+                out.append(p)
+        return sorted(out)
+
+    def current_snapshot(self) -> dict | None:
+        files = self._snapshot_files()
+        if not files:
+            return None
+        with open(files[-1]) as f:
+            return json.load(f)
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        with open(self.snap_dir / f"snapshot-{snapshot_id:08d}.json") as f:
+            return json.load(f)
+
+    def committed_epochs(self) -> set:
+        """Epoch ids present anywhere in the snapshot chain (the fence)."""
+        out = set()
+        for p in self._snapshot_files():
+            with open(p) as f:
+                e = json.load(f).get("epoch_id")
+            if e is not None:
+                out.add(e)
+        return out
+
+    def _try_write_snapshot(self, snap: dict) -> bool:
+        """Atomic CAS: publish ``snapshot-<id>.json`` iff absent.
+
+        The temp file is fully written + fsynced before the link, so a
+        published snapshot is always complete; ``os.link`` is atomic and
+        fails with EEXIST when another attempt already won this id.
+        """
+        final = self.snap_dir / f"snapshot-{snap['snapshot_id']:08d}.json"
+        tmp = self.snap_dir / f".tmp-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    # --------------------------------------------------------------- schema
+    def current_schema(self) -> TableSchema:
+        snap = self.current_snapshot()
+        return TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
+
+    # ----------------------------------------------------------------- read
+    def read(
+        self,
+        buckets: Sequence[int] | None = None,
+        snapshot_id: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Current table state, optionally restricted to some buckets
+        (file-level pruning — only those buckets' parquet files are read).
+
+        Files are read under their write-time schema and projected to the
+        current schema by field id (null-backfill adds, re-alias renames,
+        cast widens) — see ``schema.registry.project_to``.
+
+        Deletes are stored as **tombstone rows** (``_deleted = true``,
+        key + LWW seq retained) so that a stale upsert arriving *after* a
+        newer delete still loses — the property that makes the MERGE
+        convergent under arbitrary event reordering.  Normal reads filter
+        them out; the MERGE reads with ``include_tombstones=True``.
+        Compaction may purge tombstones older than a retention horizon.
+        """
+        snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current_snapshot()
+        current = TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
+        by_sv: dict[int, list[str]] = {}
+        for b, files in snap["buckets"].items():
+            if buckets is not None and int(b) not in set(buckets):
+                continue
+            for fe in files:
+                by_sv.setdefault(fe["sv"], []).append(str(self.path / fe["path"]))
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            fschema = TableSchema.from_json(snap["schemas"][str(sv)])
+            phys = fschema.to_struct().add("_deleted", "boolean", True)
+            df = self.spark.read.schema(phys).parquet(*paths)
+            parts.append(project_to(df, fschema, current, passthrough=("_deleted",)))
+        if not parts:
+            phys = current.to_struct().add("_deleted", "boolean", True)
+            out = self.spark.createDataFrame([], phys)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if include_tombstones:
+            return out
+        return out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+
+    # ------------------------------------------------------------- utility
+    def key_cols(self) -> list[str]:
+        return list(self.current_snapshot()["key_cols"])
+
+    def order_col(self) -> str:
+        return self.current_snapshot()["order_col"]
+
+    def num_buckets(self) -> int:
+        return int(self.current_snapshot()["num_buckets"])
+
+    def bucket_expr(self) -> Column:
+        return bucket_of(self.key_cols(), self.num_buckets())

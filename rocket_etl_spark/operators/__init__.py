@@ -1,0 +1,3 @@
+from rocket_etl_spark.operators.lww import lww_dedupe, lww_dedupe_salted, lww_dedupe_window
+
+__all__ = ["lww_dedupe", "lww_dedupe_salted", "lww_dedupe_window"]

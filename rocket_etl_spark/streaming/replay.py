@@ -1,0 +1,242 @@
+"""Change-event replay: batch and Structured Streaming entry points.
+
+The pipeline the north star describes (BASELINE.json:6):
+
+    tail change stream → vectorized transforms (normalize_lang, sha256)
+      → LWW dedupe → epoch-fenced MERGE → lineage row per epoch
+
+``replay_stream`` tails a directory of event batches with a file source
+(the sandbox stand-in for a Kafka/binlog source — no Kafka jar offline,
+SURVEY.md §0), processes each micro-batch in ``foreachBatch``, and is
+resumable from its checkpoint: after a crash, Spark replays the last
+uncommitted epoch, and the lake's epoch fence turns the duplicate MERGE
+into a no-op — exactly-once table effects over an at-least-once source.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import Row
+
+from rocket_etl_spark.functions.hashing import sha256_expr
+from rocket_etl_spark.functions.lang import normalize_lang
+from rocket_etl_spark.lake.merge import CommitResult, merge_batch
+from rocket_etl_spark.lake.table import LakeTable
+from rocket_etl_spark.schema.registry import TableSchema
+
+# v1 change-event schema (FIXTURES.md A2)
+EVENTS_DDL = (
+    "event_seq bigint, event_ts timestamp, op string, "
+    "repo string, path string, commit string, lang string, content string"
+)
+
+# the lake table: key (repo, path), LWW order last_event_seq (FIXTURES.md A1)
+REPO_FILES_SCHEMA = TableSchema.from_ddl(
+    [
+        ("repo", "string"),
+        ("path", "string"),
+        ("lang", "string"),
+        ("content", "string"),
+        ("content_sha256", "string"),
+        ("last_commit", "string"),
+        ("last_event_seq", "bigint"),
+    ]
+)
+
+# declared event-column renames across stream versions (rename is not
+# inferable from data — it must be declared, as in Iceberg ALTER COLUMN)
+DEFAULT_RENAMES: dict[str, str] = {"language": "lang"}
+
+
+def create_repo_files_table(
+    spark: SparkSession, path: str | Path, num_buckets: int = 16
+) -> LakeTable:
+    return LakeTable.create(
+        spark, path, REPO_FILES_SCHEMA, key_cols=("repo", "path"),
+        order_col="last_event_seq", num_buckets=num_buckets,
+    )
+
+
+def prepare_events(events: DataFrame, use_pandas_udfs: bool = True) -> DataFrame:
+    """Vectorized transform: event columns → table columns (+ op).
+
+    ``lang`` normalization and ``content`` sha256 run as Arrow pandas
+    UDFs by default (the north-star's named UDFs); set
+    ``use_pandas_udfs=False`` for the pure-JVM expression variants
+    (identical output, tested equal).
+    """
+    lang_col = "language" if "language" in events.columns else "lang"
+    if use_pandas_udfs:
+        from rocket_etl_spark.functions.hashing import sha256_content
+
+        lang_norm = normalize_lang(F.col(lang_col))
+        sha = sha256_content(F.col("content"))
+    else:
+        from rocket_etl_spark.functions.lang import normalize_lang_expr
+
+        lang_norm = normalize_lang_expr(lang_col)
+        sha = sha256_expr("content")
+    base = [
+        F.col("repo"),
+        F.col("path"),
+        lang_norm.alias(lang_col),
+        F.col("content"),
+        sha.alias("content_sha256"),
+        F.col("commit").alias("last_commit"),
+        F.col("event_seq").alias("last_event_seq"),
+        F.coalesce(F.col("op"), F.lit("upsert")).alias("op"),
+    ]
+    known = {"repo", "path", "lang", "language", "content", "commit", "event_seq",
+             "op", "event_ts", "delivery_order"}
+    extras = [F.col(c) for c in events.columns if c not in known]
+    return events.select(*base, *extras)
+
+
+def align_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    renames: dict[str, str] | None = None,
+) -> tuple[DataFrame, TableSchema | None]:
+    """Schema-evolution alignment of a prepared batch to the table.
+
+    * a batch column matching a **declared** rename target evolves the
+      table (rename old→new, same field id);
+    * unknown batch columns → ``add_column`` (new field id);
+    * a batch column wider than the table's → ``widen_column``;
+    * table columns missing from the batch → null-backfill.
+
+    Returns the aligned batch and the evolved schema (None if unchanged).
+    """
+    renames = DEFAULT_RENAMES if renames is None else renames
+    schema = table.current_schema()
+    evolved = False
+    batch_types = dict(zip(batch.columns, [f.dataType.simpleString() for f in batch.schema.fields]))
+
+    for new_name, old_name in renames.items():
+        if new_name in batch_types and old_name in schema.names():
+            schema = schema.rename_column(old_name, new_name)
+            evolved = True
+
+    for col, dtype in batch_types.items():
+        if col == "op":
+            continue
+        if col not in schema.names():
+            schema = schema.add_column(col, dtype)
+            evolved = True
+        else:
+            cur = schema.field_by_name(col).dtype
+            if cur != dtype and (cur, dtype) in {("int", "bigint"), ("float", "double")}:
+                schema = schema.widen_column(col, dtype)
+                evolved = True
+
+    cols = []
+    for f in schema.fields:
+        if f.name in batch_types:
+            cols.append(F.col(f.name).cast(f.dtype).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dtype).alias(f.name))
+    aligned = batch.select(*cols, F.col("op"))
+    return aligned, (schema if evolved else None)
+
+
+def replay_batch(
+    table: LakeTable,
+    events: DataFrame,
+    epoch_id: int | None = None,
+    renames: dict[str, str] | None = None,
+    use_pandas_udfs: bool = True,
+) -> CommitResult:
+    """One-shot batch replay: transform → align → MERGE."""
+    prepared = prepare_events(events, use_pandas_udfs=use_pandas_udfs)
+    aligned, new_schema = align_batch(table, prepared, renames)
+    return merge_batch(table, aligned, epoch_id=epoch_id, new_schema=new_schema)
+
+
+# --------------------------------------------------------------- lineage
+LINEAGE_DDL = (
+    "epoch_id bigint, snapshot_id bigint, event_seq_min bigint, event_seq_max bigint, "
+    "rows_in bigint, rows_upserted bigint, rows_deleted bigint, "
+    "touched_buckets int, wall_ms bigint, skipped boolean"
+)
+
+
+def append_lineage(spark: SparkSession, table: LakeTable, res: CommitResult) -> None:
+    row = Row(
+        epoch_id=res.epoch_id,
+        snapshot_id=res.snapshot_id,
+        event_seq_min=res.event_seq_min,
+        event_seq_max=res.event_seq_max,
+        rows_in=res.rows_in,
+        rows_upserted=res.rows_upserted,
+        rows_deleted=res.rows_deleted,
+        touched_buckets=res.touched_buckets,
+        wall_ms=res.wall_ms,
+        skipped=res.skipped,
+    )
+    (
+        spark.createDataFrame([row], LINEAGE_DDL)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(str(Path(table.path) / "lineage"))
+    )
+
+
+def read_lineage(spark: SparkSession, table: LakeTable) -> DataFrame:
+    return spark.read.schema(LINEAGE_DDL).parquet(str(Path(table.path) / "lineage"))
+
+
+# -------------------------------------------------------------- streaming
+def replay_stream(
+    spark: SparkSession,
+    table: LakeTable,
+    events_dir: str | Path,
+    checkpoint_dir: str | Path,
+    events_ddl: str = EVENTS_DDL,
+    renames: dict[str, str] | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    source_dedupe_watermark: str | None = None,
+) -> list[CommitResult]:
+    """Tail ``events_dir`` and MERGE each micro-batch (exactly-once).
+
+    ``available_now=True`` drains everything currently in the directory
+    and stops — the replay/benchmark mode.  With a watermark string
+    (e.g. ``'10 minutes'``), at-least-once source duplicates are dropped
+    via ``dropDuplicatesWithinWatermark`` on (repo, path, commit) before
+    the MERGE (T4 in SURVEY.md §2.9); correctness never depends on it —
+    the LWW merge guard already absorbs duplicates and reordering.
+    """
+    results: list[CommitResult] = []
+
+    reader = spark.readStream.schema(events_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(events_dir))
+
+    if source_dedupe_watermark:
+        stream = stream.withWatermark("event_ts", source_dedupe_watermark)
+        stream = stream.dropDuplicatesWithinWatermark(["repo", "path", "commit"])
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.monotonic()
+        prepared = prepare_events(batch_df)
+        aligned, new_schema = align_batch(table, prepared, renames)
+        res = merge_batch(table, aligned, epoch_id=epoch_id, new_schema=new_schema)
+        res.wall_ms = int((time.monotonic() - t0) * 1000)
+        append_lineage(spark, table, res)
+        results.append(res)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        return results  # caller manages the query lifecycle
+    return results
