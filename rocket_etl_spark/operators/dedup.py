@@ -1,0 +1,246 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — the standard cascade for 100 TB corpora:
+
+* exact        — hash groupBy; one shuffle, map-side combine.
+* ngram-jaccard— exact set similarity on token n-grams, blocked so the
+                 self-join never goes quadratic over the whole corpus.
+* minhash LSH  — sketch + banding: near-dup *candidates* at O(n·bands)
+                 shuffle volume instead of O(n²) comparisons.
+* simhash      — 64-bit fingerprint; hamming-ball lookups.
+* embedding    — cosine near-dups over a vector column (blocked).
+
+All set/sketch math is JVM higher-order functions (transform/aggregate/
+zip_with); simhash uses a vectorized numpy pandas UDF (bit-twiddling is
+genuinely awkward in exprs).  Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from rocket_etl_spark.operators.text import tokens
+
+
+# --------------------------------------------------------------- exact
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: the kept (min) id + dupe count."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", order_col: str | None = None) -> DataFrame:
+    """Keep one representative row per distinct text (min ``order_col``)."""
+    order_col = order_col or df.columns[0]
+    packed = df.groupBy(F.sha2(F.col(text_col), 256).alias("_h")).agg(
+        F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(order_col)).alias("_w")
+    )
+    return packed.select(*[F.col(f"_w.{c}").alias(c) for c in df.columns])
+
+
+# ------------------------------------------------------------- n-grams
+def ngram_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of a text column (JVM higher-order)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.round(inter / F.greatest(union, F.lit(1)), 4)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by token-n-gram Jaccard, blocked by ``block_col``.
+
+    The block join keeps the self-join from going O(n²) corpus-wide; at
+    100 TB the block would be (lang, length-band, LSH bucket) — same shape.
+    """
+    sh = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), ngram_shingles(text_col, n).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_sh").alias("_sb"))
+    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard_sim", jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# -------------------------------------------------------------- minhash
+def minhash_signature(text_col: str | Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash sketch: for seed j, min over shingles of xxhash64(shingle, j).
+
+    Pure JVM: transform over a literal seed array, array_min inside."""
+    sh = ngram_shingles(text_col, n)
+    seeds = F.array(*[F.lit(j) for j in range(num_hashes)])
+    return F.transform(
+        seeds,
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, then exact-Jaccard
+    verified.  Shuffle volume is O(rows × bands), never O(rows²): docs
+    only meet if one band of their sketches collides.
+
+    Scale shape: shingles explode to (id, shingle) rows, the ``num_hashes``
+    minima reduce in ONE hash aggregation (map-side combine) — the sketch
+    never recomputes the shingle expression per seed, and signature width
+    is columns, not nested lambdas (keeps codegen linear)."""
+    rows_per_band = num_hashes // bands
+    sh_df = df.select(F.col(id_col), ngram_shingles(text_col, n).alias("_sh"))
+
+    ex = sh_df.select(id_col, F.explode("_sh").alias("_tok"))
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_tok", F.lit(j))).alias(f"_h{j}") for j in range(num_hashes)]
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_band.band", "_band.bucket")
+
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh_df.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    sb = sh_df.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    return (
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# -------------------------------------------------------------- simhash
+@pandas_udf(LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized numpy).
+
+    Deterministic: token hash = blake2b-8byte.  Returned as signed int64
+    (two's complement) to fit Spark's LongType."""
+    import hashlib
+
+    def one(s: str | None) -> int | None:
+        if s is None:
+            return None
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in s.split():
+            d = hashlib.blake2b(tok.encode(), digest_size=8).digest()
+            bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(np.int64)
+            acc += 2 * bits - 1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return text.map(one)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the top
+    ``block_bits`` bits (docs differing only in low bits still collide;
+    the classic multi-probe trade-off, good enough as a candidate stage)."""
+    s = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sim"))
+    s = s.withColumn("_blk", F.shiftrightunsigned(F.col("_sim"), 64 - block_bits))
+    a = s.select(F.col(id_col).alias("id_a"), F.col("_sim").alias("_ha"), "_blk")
+    b = s.select(F.col(id_col).alias("id_b"), F.col("_sim").alias("_hb"), "_blk")
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------- embedding cosine
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column, blocked to avoid the
+    full cross join (at scale the block is an LSH/IVF bucket — see
+    ``similarity.lsh_ann_topk``)."""
+    v = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = v.select(F.col(id_col).alias("id_a"), "_blk", F.col("_v").alias("_va"))
+    b = v.select(F.col(id_col).alias("id_b"), "_blk", F.col("_v").alias("_vb"))
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

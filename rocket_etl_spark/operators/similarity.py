@@ -1,0 +1,99 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk``   — brute-force exact top-k: one broadcast of the query
+  vector, one pass, TakeOrderedAndProject.  The correctness baseline.
+* ``lsh_ann_topk``  — random-hyperplane LSH bucketing: sign-bit signature
+  via deterministic ±1 hyperplanes, candidates share the query's bucket
+  (multi-probe over hamming-1 neighbors), exact cosine re-rank inside.
+  The scale path: probes touch a vanishing fraction of the corpus.
+
+All vector math is JVM higher-order functions (zip_with/aggregate); the
+hyperplanes are seeded literals, so results are deterministic and the
+brute-force oracle can measure recall in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from rocket_etl_spark.operators.dedup import cosine
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k most-cosine-similar rows to the row with ``query_id``
+    (query excluded).  The single-row query side is broadcast."""
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("_q")
+    )
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    return (
+        base.join(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, F.round(cosine(F.col("_v"), F.col("_q")), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic ±1 hyperplane from a seeded blake2 stream."""
+    out = []
+    for i in range(dim):
+        h = hashlib.blake2b(f"{seed}:{plane}:{i}".encode(), digest_size=1).digest()[0]
+        out.append(1.0 if h & 1 else -1.0)
+    return out
+
+
+def lsh_signature(vec: Column, dim: int, planes: int = 12, seed: int = 42) -> Column:
+    """Sign-bit signature: bit p = 1 iff dot(vec, hyperplane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        hp = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
+        dot = F.aggregate(
+            F.zip_with(vec, hp, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    planes: int = 12,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows whose LSH bucket is within
+    ``probe_hamming`` bit-flips of the query's bucket; exact cosine
+    re-rank on candidates only.  Probing 1+planes buckets of 2^planes
+    bounds work at ~(1+planes)/2^planes of the corpus per query."""
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_sig", lsh_signature(F.col("_v"), dim, planes, seed))
+
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("_v").alias("_q"), F.col("_sig").alias("_qsig")
+    )
+    joined = base.join(F.broadcast(q)).filter(F.col(id_col) != query_id)
+    cand = joined.filter(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.col("_qsig"))) <= probe_hamming
+    )
+    return (
+        cand.select(id_col, F.round(cosine(F.col("_v"), F.col("_q")), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,98 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same sf dir, then compares
+row-count, column names, and an order-insensitive value multiset
+(columns sorted by name — the driver's documented comparison shape).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from rocket_etl_spark.session import build_session  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _multiset(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(tuple(_canon(v) for v in row) for row in pdf[cols].itertuples(index=False))
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = build_session(app_name="oracle-check", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures, rows_only = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"[FAIL-spark] {name}: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(sdf)))
+            print(f"[rows-only] {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"[FAIL-duck] {name}: {str(e)[:200]}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append((name, f"schema {sorted(sdf.columns)} != {sorted(odf.columns)}"))
+            print(f"[FAIL-schema] {name}: {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append((name, f"rows {len(sdf)} != {len(odf)}"))
+            print(f"[FAIL-rows] {name}: spark={len(sdf)} duck={len(odf)}")
+            continue
+        ms, mo = _multiset(sdf), _multiset(odf)
+        if ms != mo:
+            diff = [(a, b) for a, b in zip(ms, mo) if a != b][:3]
+            failures.append((name, f"values differ, e.g. {diff}"))
+            print(f"[FAIL-values] {name}: first diffs {diff}")
+            continue
+        print(f"[ok] {name}: {len(sdf)} rows")
+
+    print(f"\n{len(failures)} failures; {len(rows_only)} rows-only")
+    for n, msg in failures:
+        print(f"  FAIL {n}: {msg[:300]}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
