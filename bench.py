@@ -1,0 +1,120 @@
+"""Benchmark harness: headline queries + CDC replay at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
+
+The CDC replay (the engine's north-star metric) reports events/sec in
+``extra``.  Query timings force full plan execution via a noop sink —
+no driver-side collection bias.  Run tools/scaling_bench.py for the
+N-vs-4N-core scaling-efficiency evidence (written to BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from rocket_etl_spark.generate import change_events  # noqa: E402
+from rocket_etl_spark.session import build_session  # noqa: E402
+from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_batch  # noqa: E402
+
+HEADLINE = [
+    "join_inner",
+    "join_range",
+    "agg_basic",
+    "agg_rollup",
+    "window_lww",
+    "window_running",
+    "sort_limit",
+    "derived_col",
+    "json_extract",
+    "hash_sha256",
+    "stream_tumbling",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_embedding",
+    "knn_cosine",
+    "text_quality",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    spark = build_session(app_name="rocket-etl-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # ---- CDC replay: the engine's headline number --------------------------
+    n_events = max(int(20_000_000 * sf), 100_000)
+    ev = change_events(spark, n_events, n_repos=500, paths_per_repo=2000, delete_frac=0.05)
+    # stage input to parquet so the measured replay reads real files
+    in_dir = tempfile.mkdtemp(prefix="bench-events-")
+    ev.write.mode("overwrite").parquet(in_dir)
+    events = spark.read.parquet(in_dir)
+    table = create_repo_files_table(
+        spark, tempfile.mkdtemp(prefix="bench-lake-") + "/t", num_buckets=2 * cpus
+    )
+    t0 = time.monotonic()
+    replay_batch(table, events, epoch_id=0)
+    replay_sec = time.monotonic() - t0
+    timings["cdc_replay"] = round(replay_sec, 3)
+
+    # second epoch: incremental merge into the now-populated table
+    ev2 = change_events(
+        spark, n_events // 4, seed=43, n_repos=500, paths_per_repo=2000, delete_frac=0.05
+    )
+    t0 = time.monotonic()
+    replay_batch(table, ev2, epoch_id=1)
+    timings["cdc_replay_incremental"] = round(time.monotonic() - t0, 3)
+
+    # ---- headline operator queries -----------------------------------------
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {
+                    "replay_events": n_events,
+                    "replay_events_per_sec": round(n_events / replay_sec),
+                    "cores": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

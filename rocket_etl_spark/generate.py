@@ -48,6 +48,7 @@ def change_events(
     delete_frac: float = 0.05,
     shuffle_bound: int = 0,
     num_partitions: int | None = None,
+    max_content_blocks: int = 40,
 ) -> DataFrame:
     """Build ``n_events`` change events.
 
@@ -92,7 +93,7 @@ def change_events(
             F.repeat(
                 F.concat(F.sha2(F.concat_ws("#", F.lit(seed), F.col("event_seq").cast("string")), 256),
                          F.lit("\n")),
-                (F.lit(1) + (_h(seed, "len", F.col("event_seq")) % 40)).cast("int"),
+                (F.lit(1) + (_h(seed, "len", F.col("event_seq")) % max_content_blocks)).cast("int"),
             ),
         ).alias("content"),
     )

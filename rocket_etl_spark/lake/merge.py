@@ -13,18 +13,23 @@ support, equivalent to:
 
 Execution shape (scale rationale inline):
 
-1. stage the transformed batch to parquet once (single materialization —
-   reused for stats, dedupe, and the join; avoids recomputing the source);
-2. LWW-dedupe by key via ``max_by`` aggregation (map-side partial combine
-   → hot keys reduce before the shuffle);
-3. plan: collect the ≤ num_buckets *touched* bucket ids (tiny driver
-   coordination, the moral equivalent of Iceberg manifest pruning);
-4. full-outer join current rows *of touched buckets only* with the
-   deduped batch — both sides hash-partition on the key, and because the
-   batch side is post-dedupe (one row per key) the join cannot skew;
-5. write winners bucket-partitioned; MERGE stats come from
-   ``DataFrame.observe`` so no second pass over the join;
-6. CAS-commit a snapshot = parent's untouched buckets + new files.
+1. plan: the touched-bucket set is a pure function of the batch KEYS, so
+   it is collected from a column-pruned scan of the source (reads only
+   the key columns from parquet) — the moral equivalent of Iceberg
+   manifest pruning, and it means the full batch is consumed exactly
+   once, by step 3: no persist/cache, no restage, minimal GC pressure;
+2. input stats (rows_in, seq min/max) ride the SAME planning pass (one
+   aggregation over keys+order, ≤ num_buckets rows to the driver);
+3. one pipeline: scan → vectorized transform → LWW dedupe by key via
+   ``max_by`` aggregation (map-side partial combine → hot keys reduce
+   before the shuffle) → full-outer join with current rows *of touched
+   buckets only* → bucket-partitioned write.  The batch join side is
+   post-dedupe (one row per key), so the join cannot skew;
+4. MERGE stats (insert/update/delete counts) are written as a physical
+   ``_action`` column and read back by a pruned single-column scan of the
+   new files (DataFrame.observe is unusable here: observed metrics never
+   resolve inside a streaming foreachBatch);
+5. CAS-commit a snapshot = parent's untouched buckets + new files.
 
 The MERGE is order-insensitive across and within batches: the LWW guard
 ``s.seq > t.seq`` means late/duplicate delivery converges to the same
@@ -36,10 +41,9 @@ from __future__ import annotations
 import time
 import uuid
 from dataclasses import dataclass
-from pathlib import Path
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 
 from rocket_etl_spark.lake.table import LakeTable, bucket_of
 from rocket_etl_spark.operators.lww import lww_dedupe
@@ -65,7 +69,6 @@ def merge_batch(
     batch: DataFrame,
     epoch_id: int | None = None,
     new_schema: TableSchema | None = None,
-    stage_dir: str | Path | None = None,
 ) -> CommitResult:
     """MERGE ``batch`` into ``table``; returns commit stats.
 
@@ -92,29 +95,31 @@ def merge_batch(
     if set(batch.columns) != expect:
         raise ValueError(f"batch columns {sorted(batch.columns)} != expected {sorted(expect)}")
 
-    # 1. stage once
     commit_tag = f"{snap['snapshot_id'] + 1:08d}-{uuid.uuid4().hex[:8]}"
-    staging = Path(stage_dir) if stage_dir else table.path / "_staging"
-    stage_path = staging / f"batch-{commit_tag}"
-    batch.write.parquet(str(stage_path))
-    staged = spark.read.schema(batch.schema).parquet(str(stage_path))
 
-    stats_row = staged.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(order_col).alias("lo"),
-        F.max(order_col).alias("hi"),
-    ).collect()[0]
-    rows_in = stats_row["n"]
+    # 1+2. plan touched buckets AND input stats in ONE column-pruned pass
+    # over (keys, order) only — bucket id is key-deterministic, so dedupe
+    # cannot change the touched set.  ≤ num_buckets rows reach the driver.
+    # (Deliberately no DataFrame.observe anywhere: observed metrics never
+    # resolve inside a streaming foreachBatch — Observation.get blocks.)
+    plan_rows = (
+        batch.groupBy(bucket_of(keys, nb).alias("_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(order_col).alias("lo"),
+            F.max(order_col).alias("hi"),
+        )
+        .collect()
+    )
+    touched = [r["_bucket"] for r in plan_rows]
+    rows_in = int(sum(r["n"] for r in plan_rows))
+    seq_lo = min((r["lo"] for r in plan_rows), default=None)
+    seq_hi = max((r["hi"] for r in plan_rows), default=None)
 
-    # 2. LWW dedupe (agg form: map-side combine, skew-proof)
-    deduped = lww_dedupe(staged, keys=keys, order_col=order_col)
-    deduped = deduped.withColumn("_bucket", bucket_of(keys, nb))
-
-    # 3. plan touched buckets (≤ nb small values)
-    touched = [r["_bucket"] for r in deduped.select("_bucket").distinct().collect()]
+    deduped = lww_dedupe(batch, keys=keys, order_col=order_col)
 
     out_files: dict[int, list[dict]] = {}
-    obs_map = {"rows_upserted": 0, "rows_deleted": 0}
+    stat_map: dict[str, int] = {}
     if touched:
         # tombstones included: a newer delete must outrank a stale upsert
         current = table.read(buckets=touched, include_tombstones=True)
@@ -153,18 +158,14 @@ def merge_batch(
             .when(F.col("_t").isNull() | t_del, F.lit("insert"))
             .otherwise(F.lit("update"))
         )
-        obs = Observation(f"merge-{commit_tag}")
+        # _action is written into the data files (tiny, dictionary-encoded)
+        # and read back by a pruned single-column scan for the MERGE stats —
+        # explicit-schema reads make it invisible to table queries, exactly
+        # like the _deleted tombstone flag.
         merged = (
             joined.withColumn("_action", action)
-            .observe(
-                obs,
-                F.sum(F.when(F.col("_action").isin("insert", "update"), 1).otherwise(0)).alias(
-                    "rows_upserted"
-                ),
-                F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("rows_deleted"),
-            )
             .withColumn("_w", F.when(s_wins, F.col("_s")).otherwise(F.col("_t")))
-            .select(*keys, F.col("_w.*"))
+            .select(*keys, F.col("_w.*"), "_action")
             .withColumn("_bucket", bucket_of(keys, nb))
         )
 
@@ -176,8 +177,6 @@ def merge_batch(
             .write.partitionBy("_bucket")
             .parquet(str(out_dir))
         )
-        obs_map = obs.get
-
         for bdir in sorted(out_dir.glob("_bucket=*")):
             b = int(bdir.name.split("=")[1])
             files = [
@@ -187,7 +186,18 @@ def merge_batch(
             ]
             out_files[b] = [{"path": p, "sv": schema.version} for p in files]
 
-    # 6. assemble + CAS-commit the snapshot
+        all_new = [str(table.path / fe["path"]) for fl in out_files.values() for fe in fl]
+        if all_new:
+            for r in (
+                spark.read.schema("_action string")
+                .parquet(*all_new)
+                .groupBy("_action")
+                .count()
+                .collect()
+            ):
+                stat_map[r["_action"]] = int(r["count"])
+
+    # 5. assemble + CAS-commit the snapshot
     new_buckets = dict(snap["buckets"])
     for b in touched:
         new_buckets[str(b)] = out_files.get(b, [])
@@ -218,10 +228,10 @@ def merge_batch(
         epoch_id=epoch_id,
         skipped=False,
         rows_in=rows_in,
-        rows_upserted=int(obs_map.get("rows_upserted") or 0),
-        rows_deleted=int(obs_map.get("rows_deleted") or 0),
-        event_seq_min=stats_row["lo"],
-        event_seq_max=stats_row["hi"],
+        rows_upserted=stat_map.get("insert", 0) + stat_map.get("update", 0),
+        rows_deleted=stat_map.get("delete", 0),
+        event_seq_min=seq_lo,
+        event_seq_max=seq_hi,
         touched_buckets=len(touched),
         wall_ms=int((time.monotonic() - t0) * 1000),
     )

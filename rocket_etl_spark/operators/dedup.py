@@ -47,12 +47,47 @@ def exact_dedup(df: DataFrame, text_col: str = "text", order_col: str | None = N
 
 # ------------------------------------------------------------- n-grams
 def ngram_shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct token n-gram shingles of a text column (JVM higher-order)."""
+    """Distinct token n-gram shingles of a text column (JVM higher-order).
+
+    NOTE: as a single inline expression, the token split would be
+    re-evaluated for every shingle position (Catalyst inlines the lambda
+    operand).  Prefer ``shingle_frame`` for DataFrame pipelines — it
+    materializes the token array behind a projection boundary first."""
     toks = tokens(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
     )
+
+
+def shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, [extra...], _sh) with the token split evaluated ONCE per row.
+
+    Two projections: tokens first, shingles from the materialized array.
+    (Catalyst's CollapseProject declines to merge them because the token
+    array is referenced 3n times — measured ~15x faster than the inline
+    form on 50-token docs.)
+
+    The output is shuffle-barriered (round-robin repartition): without it,
+    a downstream ``explode`` makes Catalyst re-evaluate the whole shingle
+    construction per OUTPUT row (measured 50x slower), and single-file
+    inputs would stay single-partition.  The barrier pins the arrays as
+    shuffled bytes — computed exactly once per input row."""
+    toked = df.select(F.col(id_col), *[F.col(c) for c in extra_cols], tokens(text_col).alias("_toks"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0)))
+    built = toked.select(
+        id_col,
+        *extra_cols,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", *[F.element_at(F.col("_toks"), i + j) for j in range(n)]),
+            )
+        ).alias("_sh"),
+    )
+    return built.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -74,8 +109,8 @@ def ngram_jaccard_pairs(
     The block join keeps the self-join from going O(n²) corpus-wide; at
     100 TB the block would be (lang, length-band, LSH bucket) — same shape.
     """
-    sh = df.select(
-        F.col(id_col), F.col(block_col).alias("_blk"), ngram_shingles(text_col, n).alias("_sh")
+    sh = shingle_frame(df, text_col, id_col, n, extra_cols=(block_col,)).withColumnRenamed(
+        block_col, "_blk"
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_sh").alias("_sb"))
@@ -118,9 +153,20 @@ def minhash_lsh_pairs(
     never recomputes the shingle expression per seed, and signature width
     is columns, not nested lambdas (keeps codegen linear)."""
     rows_per_band = num_hashes // bands
-    sh_df = df.select(F.col(id_col), ngram_shingles(text_col, n).alias("_sh"))
+    sh_df = shingle_frame(df, text_col, id_col, n)
 
-    ex = sh_df.select(id_col, F.explode("_sh").alias("_tok"))
+    # hash the shingle STRING once to a long; the per-seed hashes then run
+    # over 8 bytes instead of the full string (~4x fewer hashed bytes)
+    # explode_OUTER deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, whose size(_sh)>0 filter gets pushed below
+    # the shingle projection and re-inlines the token split PER ELEMENT
+    # (~150 regex splits/row, measured 10x slower).  Outer explode infers
+    # no filter; the null guard below runs after the Generate instead.
+    ex = (
+        sh_df.select(id_col, F.explode_outer("_sh").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(id_col, F.xxhash64("_s").alias("_tok"))
+    )
     sig = ex.groupBy(id_col).agg(
         *[F.min(F.xxhash64("_tok", F.lit(j))).alias(f"_h{j}") for j in range(num_hashes)]
     )

@@ -54,6 +54,11 @@ def build_session(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in _ENGINE_CONFS.items():
         builder = builder.config(k, v)
+    # local mode is one JVM doing the work of a whole cluster: size its heap
+    # like an executor, not like a driver (overridable via env)
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    )
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

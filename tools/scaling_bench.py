@@ -1,0 +1,104 @@
+"""Scaling-efficiency evidence: the same CDC replay at N and 4N cores.
+
+The north rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors (BASELINE.json:14).  No multi-node cluster exists in this
+sandbox, so the sanctioned proxy (BASELINE.md) is the identical job at
+``local[8]`` vs ``local[32]`` over the same staged parquet input, each in
+a fresh JVM.  Efficiency = rate(4N) / (4 * rate(N)).
+
+Input sizing matters: fixed per-job overhead (planning, codegen, commit)
+is ~10 s regardless of cores, so the event count must be large enough that
+parallel work dominates — exactly as on a real cluster, where a 10^10-event
+replay amortizes job overhead to nothing.  Default 64M events (~20 GB).
+Shuffle/lake dirs live on /dev/shm so the measurement varies parallelism,
+not disk.  Usage: python tools/scaling_bench.py [n_events] — raw result
+goes to BENCH/last_run.json; curate BENCH/BASELINE.md by hand from it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_RUNNER = """
+import json, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from rocket_etl_spark.session import build_session
+from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_batch
+
+cores = int(sys.argv[1]); in_dir = sys.argv[2]
+spark = build_session(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                      extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
+spark.sparkContext.setLogLevel("ERROR")
+events = spark.read.parquet(in_dir)
+table = create_repo_files_table(spark, tempfile.mkdtemp(dir="/dev/shm") + "/t",
+                                num_buckets=2 * cores)
+n = int(sys.argv[3])
+t0 = time.monotonic()
+replay_batch(table, events, epoch_id=0)
+dt = time.monotonic() - t0
+print(json.dumps({{"cores": cores, "events": n, "wall_s": round(dt, 2),
+                   "events_per_sec": round(n / dt)}}))
+spark.stop()
+"""
+
+
+def run(cores: int, in_dir: str, n_events: int) -> dict:
+    script = _RUNNER.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), in_dir, str(n_events)],
+        capture_output=True, text=True, env={**os.environ, "PYTHONPATH": str(REPO)},
+        timeout=1800,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
+
+    # stage identical input once
+    gen = f"""
+import sys, json
+sys.path.insert(0, {str(REPO)!r})
+from rocket_etl_spark.session import build_session
+from rocket_etl_spark.generate import change_events
+spark = build_session(app_name="scaling-gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+change_events(spark, {n_events}, n_repos=2000, paths_per_repo=4000, delete_frac=0.05,
+              max_content_blocks=4, num_partitions=256).write.mode("overwrite").parquet(sys.argv[1])
+spark.stop()
+"""
+    in_dir = tempfile.mkdtemp(prefix="scaling-events-", dir="/dev/shm")
+    subprocess.run(
+        [sys.executable, "-c", gen, in_dir],
+        check=True, capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": str(REPO)}, timeout=1800,
+    )
+
+    r8 = run(8, in_dir, n_events)
+    r32 = run(32, in_dir, n_events)
+    eff = r32["events_per_sec"] / (4 * r8["events_per_sec"])
+
+    result = {"N": r8, "4N": r32, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    import shutil
+
+    shutil.rmtree(in_dir, ignore_errors=True)
+
+    out = REPO / "BENCH" / "last_run.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(result, indent=2) + "\n")
+    # BENCH/BASELINE.md holds the curated multi-run table + analysis; update
+    # it by hand from last_run.json — this script must not clobber it.
+
+
+if __name__ == "__main__":
+    main()
