@@ -1,0 +1,114 @@
+"""Lake maintenance: compaction, tombstone GC, snapshot expiry.
+
+Copy-on-write MERGEs leave two kinds of debt at scale: many small files
+per bucket (one per commit that touched it) and delete tombstones that
+never expire.  Compaction rewrites buckets into one file each and drops
+tombstones older than a caller-supplied watermark; snapshot expiry
+deletes unreachable snapshots and any data files no surviving snapshot
+references (Iceberg's expire_snapshots + remove_orphan_files, locally).
+
+Tombstone-drop safety: a tombstone for key K with seq S guards against
+upserts of K with seq < S arriving LATER.  Once the stream's replay
+position (low-watermark of any possible redelivery) has passed S, the
+tombstone can never matter again and is droppable.  The caller owns the
+watermark — typically min(checkpoint offsets) over all consumers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rocket_etl_spark.lake.table import LakeTable
+
+
+def compact(table: LakeTable, tombstone_watermark: int | None = None) -> dict:
+    """Rewrite every bucket to a single file; drop droppable tombstones.
+
+    Returns {'snapshot_id', 'files_before', 'files_after',
+    'tombstones_dropped'}.  Partition-parallel: each bucket's rewrite is
+    one task (repartition by the bucket column), no driver data path.
+    """
+    snap = table.current_snapshot()
+    nb = int(snap["num_buckets"])
+    files_before = sum(len(v) for v in snap["buckets"].values())
+
+    df = table.read(include_tombstones=True)
+    order_col = snap["order_col"]
+    if tombstone_watermark is not None:
+        keep = ~F.coalesce(F.col("_deleted"), F.lit(False)) | (
+            F.col(order_col) >= tombstone_watermark
+        )
+        dropped = df.filter(~keep).count()
+        df = df.filter(keep)
+    else:
+        dropped = 0
+
+    commit_tag = f"compact-{snap['snapshot_id'] + 1:08d}"
+    out_dir_rel = f"data/{commit_tag}"
+    out_dir = table.path / out_dir_rel
+    (
+        df.withColumn("_bucket", table.bucket_expr())
+        .repartition(nb, "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(str(out_dir))
+    )
+    new_buckets: dict[str, list] = {}
+    sv = snap["current_schema_version"]
+    for bdir in sorted(out_dir.glob("_bucket=*")):
+        b = bdir.name.split("=")[1]
+        new_buckets[b] = [
+            {"path": f"{out_dir_rel}/{bdir.name}/{p.name}", "sv": sv}
+            for p in sorted(bdir.iterdir())
+            if p.name.endswith(".parquet")
+        ]
+
+    new_snap = dict(snap)
+    new_snap["snapshot_id"] = snap["snapshot_id"] + 1
+    new_snap["parent_id"] = snap["snapshot_id"]
+    new_snap["epoch_id"] = None
+    new_snap["buckets"] = new_buckets
+    new_snap["stats"] = {"compacted": True, "tombstones_dropped": int(dropped)}
+    if not table._try_write_snapshot(new_snap):
+        raise RuntimeError("lost commit race during compaction; retry")
+    return {
+        "snapshot_id": new_snap["snapshot_id"],
+        "files_before": files_before,
+        "files_after": sum(len(v) for v in new_buckets.values()),
+        "tombstones_dropped": int(dropped),
+    }
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
+    """Delete snapshots older than the newest ``keep_last`` and any data
+    files that no surviving snapshot references.  Time-travel to expired
+    snapshots stops working (by design)."""
+    snaps = table._snapshot_files()
+    if len(snaps) <= keep_last:
+        return {"snapshots_removed": 0, "files_removed": 0}
+    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+
+    import json
+
+    referenced: set[str] = set()
+    for p in keep:
+        with open(p) as f:
+            s = json.load(f)
+        for files in s["buckets"].values():
+            referenced.update(fe["path"] for fe in files)
+
+    files_removed = 0
+    for data_file in (table.path / "data").rglob("*.parquet"):
+        rel = str(data_file.relative_to(table.path))
+        if rel not in referenced:
+            data_file.unlink()
+            files_removed += 1
+    # prune now-empty commit dirs
+    for d in sorted((table.path / "data").glob("*"), reverse=True):
+        if d.is_dir() and not any(d.rglob("*.parquet")):
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+
+    for p in drop:
+        p.unlink()
+    return {"snapshots_removed": len(drop), "files_removed": files_removed}

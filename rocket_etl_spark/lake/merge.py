@@ -130,10 +130,13 @@ def merge_batch(
             current = project_to(current, cur_schema, schema, passthrough=("_deleted",))
 
         vals = [c for c in schema.names() if c not in keys]
+        # the LWW order rides the struct under a dedicated _ord field so it
+        # works whether order_col is a value column or one of the keys
         t_side = current.select(
             *keys,
             F.struct(
                 *[F.col(c) for c in vals],
+                F.col(order_col).alias("_ord"),
                 F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
             ).alias("_t"),
         )
@@ -141,13 +144,14 @@ def merge_batch(
             *keys,
             F.struct(
                 *[F.col(c) for c in vals],
+                F.col(order_col).alias("_ord"),
                 (F.col("op") == "delete").alias("_deleted"),
             ).alias("_s"),
         )
         joined = t_side.join(s_side, on=list(keys), how="full_outer")
 
-        s_seq = F.col(f"_s.{order_col}")
-        t_seq = F.col(f"_t.{order_col}")
+        s_seq = F.col("_s._ord")
+        t_seq = F.col("_t._ord")
         s_del = F.col("_s._deleted")
         t_del = F.col("_t._deleted")
         s_wins = F.col("_s").isNotNull() & (F.col("_t").isNull() | (s_seq > t_seq))
@@ -165,7 +169,12 @@ def merge_batch(
         merged = (
             joined.withColumn("_action", action)
             .withColumn("_w", F.when(s_wins, F.col("_s")).otherwise(F.col("_t")))
-            .select(*keys, F.col("_w.*"), "_action")
+            .select(
+                *keys,
+                *[F.col(f"_w.{c}").alias(c) for c in vals],
+                F.col("_w._deleted").alias("_deleted"),
+                "_action",
+            )
             .withColumn("_bucket", bucket_of(keys, nb))
         )
 
@@ -213,6 +222,10 @@ def merge_batch(
         "current_schema_version": schema.version,
         "schemas": schemas,
         "buckets": new_buckets,
+        # cumulative fence set: survives snapshot expiry, O(1) lookups
+        "committed_epochs": sorted(
+            table.committed_epochs() | ({epoch_id} if epoch_id is not None else set())
+        ),
         "stats": {"rows_in": rows_in},
     }
     while not table._try_write_snapshot(new_snap):
@@ -222,6 +235,9 @@ def merge_batch(
             return CommitResult(latest["snapshot_id"], epoch_id, skipped=True)
         new_snap["snapshot_id"] = latest["snapshot_id"] + 1
         new_snap["parent_id"] = latest["snapshot_id"]
+        new_snap["committed_epochs"] = sorted(
+            table.committed_epochs() | ({epoch_id} if epoch_id is not None else set())
+        )
 
     return CommitResult(
         snapshot_id=new_snap["snapshot_id"],

@@ -81,6 +81,7 @@ class LakeTable:
             "current_schema_version": schema.version,
             "schemas": {str(schema.version): schema.to_json()},
             "buckets": {},
+            "committed_epochs": [],
             "stats": {"rows_total": 0},
         }
         if not t._try_write_snapshot(snap):
@@ -116,7 +117,16 @@ class LakeTable:
             return json.load(f)
 
     def committed_epochs(self) -> set:
-        """Epoch ids present anywhere in the snapshot chain (the fence)."""
+        """Epoch ids ever committed (the exactly-once fence).
+
+        The set is carried forward cumulatively in each snapshot, so the
+        check is O(1) (read the tip) and survives snapshot expiry.  Falls
+        back to a full chain scan for pre-cumulative snapshots."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return set()
+        if "committed_epochs" in snap:
+            return set(snap["committed_epochs"])
         out = set()
         for p in self._snapshot_files():
             with open(p) as f:

@@ -1,0 +1,149 @@
+"""Declarative job specs — the engine's analog of the reference's job dicts.
+
+The reference drives every pipeline from a per-job dict (source
+type/path/encoding, a marshmallow schema class, primary keys, destination,
+upload method 'upsert'|'insert', wipe flag, per-row hooks — upstream
+``launchpad.py`` / ``engine/etl_util.py`` [U], SURVEY.md §1.1/§3.1).
+Here the same spec is a typed dataclass tree, and ``run_job`` is three
+pure functions: extract → transform → load.  No Pipeline builder class:
+the DataFrame API *is* the fluent plan and Catalyst is the optimizer
+(SURVEY.md §3.2 conclusion).
+
+Marshmallow semantics map 1:1 (SURVEY.md §2.3):
+  load_only (drop)     → TransformSpec.drops
+  dump_to (rename)     → TransformSpec.renames
+  field type coercion  → TransformSpec.casts
+  ''→None / allow_none → TransformSpec.null_norm columns
+  @pre_load hooks      → TransformSpec.derived (name → SQL expression)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rocket_etl_spark.lake.merge import CommitResult, merge_batch
+from rocket_etl_spark.lake.table import LakeTable
+from rocket_etl_spark.schema.registry import TableSchema
+from rocket_etl_spark.sources.readers import read_source
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    format: str                       # parquet | csv | json
+    path: str
+    schema_ddl: str | None = None     # declared, never inferred, for text formats
+    encoding: str = "UTF-8"
+    options: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class TransformSpec:
+    drops: tuple[str, ...] = ()
+    renames: dict = field(default_factory=dict)     # old -> new
+    casts: dict = field(default_factory=dict)       # col -> spark type ddl
+    null_norm: tuple[str, ...] = ()                 # ''/whitespace -> NULL
+    derived: dict = field(default_factory=dict)     # new col -> SQL expr
+    filter: str | None = None                       # SQL predicate
+
+
+@dataclass(frozen=True)
+class DestSpec:
+    mode: str                          # upsert | insert | overwrite | file
+    path: str
+    key_cols: tuple[str, ...] = ()     # upsert only
+    # LWW order for upserts.  Use a column that ADVANCES on change (event
+    # seq, updated_at, file mtime).  Pointing it at a key column makes the
+    # table effectively insert-only: a re-delivered row carries the same
+    # order value and loses the strict `s.order > t.order` MERGE guard, so
+    # updates and deletes of existing keys never apply.
+    order_col: str = ""                # upsert only (LWW order)
+    num_buckets: int = 16
+    file_format: str = "parquet"       # file mode only
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    name: str
+    source: SourceSpec
+    transform: TransformSpec = field(default_factory=TransformSpec)
+    dest: DestSpec | None = None
+
+
+def extract(spark: SparkSession, spec: JobSpec) -> DataFrame:
+    return read_source(spark, spec.source)
+
+
+def transform(df: DataFrame, spec: JobSpec) -> DataFrame:
+    t = spec.transform
+    for old, new in t.renames.items():
+        df = df.withColumnRenamed(old, new)
+    if t.drops:
+        df = df.drop(*t.drops)
+    for col, dtype in t.casts.items():
+        # lenient, marshmallow-style coercion: malformed -> NULL (ANSI-safe)
+        df = df.withColumn(col, F.col(col).try_cast(dtype))
+    for col in t.null_norm:
+        df = df.withColumn(col, F.nullif(F.trim(F.col(col)), F.lit("")))
+    for col, expr in t.derived.items():
+        df = df.withColumn(col, F.expr(expr))
+    if t.filter:
+        df = df.filter(t.filter)
+    return df
+
+
+def load(df: DataFrame, spec: JobSpec) -> CommitResult | None:
+    """Load per destination mode.
+
+    upsert    — keyed LWW MERGE into a lake table (creates it on first run;
+                the reference's ``upload_method='upsert'``),
+    insert    — append rows as a MERGE with unique synthetic keys disabled:
+                here simply an upsert where every row is new,
+    overwrite — the reference's wipe/full-refresh (``always_wipe_data``),
+    file      — plain file sink (``FileLoader``).
+    """
+    d = spec.dest
+    if d is None:
+        return None
+    if d.mode == "file":
+        df.write.mode("overwrite").format(d.file_format).option("header", True).save(d.path)
+        return None
+    if d.mode in ("upsert", "insert"):
+        spark = df.sparkSession
+        if not (Path(d.path) / "snapshots").exists():
+            pairs = [(f.name, f.dataType.simpleString()) for f in df.schema.fields
+                     if f.name != "op"]
+            table = LakeTable.create(
+                spark, d.path, TableSchema.from_ddl(pairs),
+                key_cols=d.key_cols, order_col=d.order_col, num_buckets=d.num_buckets,
+            )
+        else:
+            table = LakeTable.load(spark, d.path)
+        batch = df if "op" in df.columns else df.withColumn("op", F.lit("upsert"))
+        return merge_batch(table, batch)
+    if d.mode == "overwrite":
+        # wipe-and-reload: new table state = exactly this batch (still a
+        # snapshot commit, so history/time-travel is preserved)
+        spark = df.sparkSession
+        table = LakeTable.load(spark, d.path)
+        wiped = _wipe_snapshot(table)
+        batch = df if "op" in df.columns else df.withColumn("op", F.lit("upsert"))
+        return merge_batch(table, batch) if wiped else None
+    raise ValueError(f"unknown dest mode {d.mode!r}")
+
+
+def _wipe_snapshot(table: LakeTable) -> bool:
+    snap = dict(table.current_snapshot())
+    snap["snapshot_id"] += 1
+    snap["parent_id"] = snap["snapshot_id"] - 1
+    snap["epoch_id"] = None
+    snap["buckets"] = {}
+    snap["stats"] = {"wiped": True}
+    return table._try_write_snapshot(snap)
+
+
+def run_job(spark: SparkSession, spec: JobSpec) -> CommitResult | None:
+    return load(transform(extract(spark, spec), spec), spec)
