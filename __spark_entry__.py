@@ -358,6 +358,50 @@ def _hash_sha256(spark, sf):
     return d.select("doc_id", F.sha2("text", 256).alias("text_sha256"))
 
 
+def _stream_sliding(spark, sf):
+    """Sliding window (1h window, 15m slide) as its batch equivalent."""
+    ev = _t(spark, sf, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def _stream_session(spark, sf):
+    """Session windows (30m gap) per user as the batch gaps-and-islands."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def _window_lww_salted(spark, sf):
+    """Same contract as window_lww via the explicit two-phase salted path —
+    the oracle is literally window_lww's SQL, proving salting changes the
+    physical plan, never the result."""
+    from rocket_etl_spark.operators.lww import lww_dedupe_salted
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    last = lww_dedupe_salted(ev, keys=("user_id",), order_col="event_id", salt_buckets=8)
+    return last.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
 def _stream_tumbling(spark, sf):
     ev = _t(spark, sf, "events")
     return (
@@ -464,6 +508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": _array_funcs,
         "hash_sha256": _hash_sha256,
         "stream_tumbling": _stream_tumbling,
+        "stream_sliding": _stream_sliding,
+        "stream_session": _stream_session,
+        "window_lww_salted": _window_lww_salted,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
@@ -634,6 +681,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, "
             "event_type, count(*) AS n, round(sum(value), 2) AS value_sum "
             "FROM events GROUP BY 1, 2"
+        ),
+        "stream_sliding": (
+            "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n "
+            "FROM (SELECT event_type, unnest(["
+            "  time_bucket(INTERVAL '15 minutes', ts),"
+            "  time_bucket(INTERVAL '15 minutes', ts) - INTERVAL 15 MINUTE,"
+            "  time_bucket(INTERVAL '15 minutes', ts) - INTERVAL 30 MINUTE,"
+            "  time_bucket(INTERVAL '15 minutes', ts) - INTERVAL 45 MINUTE]) AS ws "
+            "FROM events) GROUP BY 1, 2"
+        ),
+        "stream_session": (
+            "WITH x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER ("
+            "  PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk "
+            "FROM events), y AS (SELECT user_id, ts, sum(brk) OVER ("
+            "  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+            "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "count(*) AS n_events FROM y GROUP BY user_id, sid"
+        ),
+        "window_lww_salted": (
+            "SELECT user_id, event_type AS last_event_type, round(value, 2) AS last_value FROM ("
+            "  SELECT user_id, event_type, value, row_number() OVER ("
+            "    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) WHERE rn = 1"
         ),
         "dedup_exact": (
             "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes "
