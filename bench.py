@@ -61,7 +61,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
-    spark = build_session(app_name="rocket-etl-bench", master=f"local[{cpus}]")
+    # RAM-backed shuffle dirs: the bench measures the engine, not /tmp's disk
+    shm = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    spark = build_session(
+        app_name="rocket-etl-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.local.dir": shm} if shm else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

@@ -1,0 +1,107 @@
+"""Real-Iceberg backend: the same MERGE contract against a catalog table.
+
+No Iceberg runtime jar exists in this sandbox (SURVEY.md §0), so this
+module is import-gated and exercised only for its SQL generation; on a
+cluster with ``iceberg-spark-runtime`` and a configured catalog it is the
+drop-in replacement for the local snapshot-log backend — same semantics
+the local backend reproduces (atomic snapshot CAS, epoch fencing via a
+committed-epochs table, bucketed layout).
+
+Usage sketch (cluster):
+
+    spark = build_session(extra_conf={
+        "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.lake.type": "glue",   # or hive/rest/hadoop
+    })
+    be = IcebergBackend(spark, "lake.cdc.repo_files")
+    be.create(REPO_FILES_SCHEMA, key_cols=("repo", "path"),
+              order_col="last_event_seq", num_buckets=64)
+    be.merge(prepared_batch, epoch_id=epoch)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rocket_etl_spark.schema.registry import TableSchema
+
+
+def merge_sql(
+    table: str,
+    view: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+) -> str:
+    """The MERGE INTO statement realizing the engine's LWW contract —
+    identical arms to lake/merge.py's DataFrame plan."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
+    ins_cols = ", ".join([*key_cols, *value_cols])
+    ins_vals = ", ".join(f"s.{c}" for c in [*key_cols, *value_cols])
+    return (
+        f"MERGE INTO {table} t USING {view} s ON {on} "
+        f"WHEN MATCHED AND s.op = 'delete' AND s.{order_col} > t.{order_col} THEN DELETE "
+        f"WHEN MATCHED AND s.op <> 'delete' AND s.{order_col} > t.{order_col} "
+        f"THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED AND s.op <> 'delete' THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+class IcebergBackend:
+    """Same contract as (LakeTable, merge_batch) over a real Iceberg catalog.
+
+    Epoch fencing: Iceberg's atomic snapshot commit covers the MERGE; the
+    fence itself lives in a one-column ``<table>_epochs`` Iceberg table
+    appended in the same Spark job — a replayed epoch is detected before
+    the MERGE runs.  (Iceberg's WAP/branch commits could carry both in one
+    snapshot; kept simple here.)
+
+    NOTE: physical deletes (no tombstones) — convergence under arbitrary
+    cross-epoch reordering relies on the source replaying in WAL order per
+    key, which Structured Streaming file/Kafka sources guarantee per
+    partition.  The local backend is stricter (tombstones).
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark = spark
+        self.table = table
+        self._probe()
+
+    def _probe(self) -> None:
+        try:
+            self.spark.conf.get("spark.sql.catalog." + self.table.split(".")[0])
+        except Exception as e:  # pragma: no cover - needs a real catalog
+            raise NotImplementedError(
+                f"no Iceberg catalog configured for {self.table!r}; this backend "
+                "requires iceberg-spark-runtime on the cluster (absent in this "
+                "sandbox — use the local lake backend)"
+            ) from e
+
+    # pragma: no cover start - cluster-only paths
+    def create(self, schema: TableSchema, key_cols, order_col, num_buckets=64) -> None:
+        cols = ", ".join(f"{f.name} {f.dtype}" for f in schema.fields)
+        self.spark.sql(
+            f"CREATE TABLE {self.table} ({cols}) USING iceberg "
+            f"PARTITIONED BY (bucket({num_buckets}, {key_cols[0]}))"
+        )
+        self.spark.sql(f"CREATE TABLE {self.table}_epochs (epoch_id BIGINT) USING iceberg")
+        self._keys, self._order = list(key_cols), order_col
+
+    def committed_epochs(self) -> set:
+        return {
+            r["epoch_id"] for r in self.spark.sql(f"SELECT epoch_id FROM {self.table}_epochs").collect()
+        }
+
+    def merge(self, batch: DataFrame, epoch_id: int | None = None):
+        if epoch_id is not None and epoch_id in self.committed_epochs():
+            return None
+        view = f"_merge_src_{abs(hash((self.table, epoch_id))) % 10**8}"
+        batch.createOrReplaceTempView(view)
+        value_cols = [c for c in batch.columns if c not in (*self._keys, "op")]
+        self.spark.sql(merge_sql(self.table, view, self._keys, self._order, value_cols))
+        if epoch_id is not None:
+            self.spark.sql(f"INSERT INTO {self.table}_epochs VALUES ({epoch_id})")
+    # pragma: no cover end

@@ -73,7 +73,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     dim: int = 64,
     planes: int = 12,
-    probe_hamming: int = 1,
+    probe_hamming: int = 2,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates = rows whose LSH bucket is within
