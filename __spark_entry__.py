@@ -60,12 +60,11 @@ def _scan_parquet(spark, sf):
 
 def _scan_csv(spark, sf):
     import hashlib
-    import os
 
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     path = f"/tmp/rocket_etl_csv/region-{tag}"
-    if not os.path.exists(path):
-        _t(spark, sf, "region").coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    # always overwrite: a previous partial write must never poison the read
+    _t(spark, sf, "region").coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     return spark.read.option("header", True).schema("r_regionkey int, r_name string").csv(path)
 
 
@@ -444,6 +443,15 @@ def _knn_lsh(spark, sf):  # rows-only: hyperplane sketch not ANSI-SQL
     return lsh_ann_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
 
 
+def _grouped_map(spark, sf):
+    """Per-user profile via Arrow grouped-map applyInPandas — the engine's
+    replacement for the reference's custom_processing callbacks."""
+    from rocket_etl_spark.operators.custom import group_profile
+
+    ev = _t(spark, sf, "events").select("user_id", "value")
+    return group_profile(ev, keys=["user_id"], value_col="value")
+
+
 def _text_quality(spark, sf):
     return quality_metrics(_t(spark, sf, "documents"))
 
@@ -511,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": _stream_sliding,
         "stream_session": _stream_session,
         "window_lww_salted": _window_lww_salted,
+        "grouped_map": _grouped_map,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
@@ -703,6 +712,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type AS last_event_type, round(value, 2) AS last_value FROM ("
             "  SELECT user_id, event_type, value, row_number() OVER ("
             "    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "grouped_map": (
+            "WITH s AS (SELECT user_id, count(*) AS n, "
+            "floor(avg(value) * 100 + 0.5) / 100 AS mean_val FROM events GROUP BY user_id), "
+            "r AS (SELECT user_id, floor(value * 100 + 0.5) / 100 AS median_val, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS cnt FROM events) "
+            "SELECT s.user_id, s.n, s.mean_val, r.median_val FROM s JOIN r "
+            "ON s.user_id = r.user_id AND r.rn = (r.cnt + 1) // 2"
         ),
         "dedup_exact": (
             "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes "

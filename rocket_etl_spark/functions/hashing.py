@@ -17,6 +17,7 @@ Two implementations with identical output:
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator  # noqa: F401 (used in UDF type hints)
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -37,3 +38,15 @@ def sha256_content(content: pd.Series) -> pd.Series:
     return content.map(
         lambda s: None if s is None else hashlib.sha256(s.encode("utf-8")).hexdigest()
     )
+
+
+def _sha256_iter(batches: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+    # iterator form (detected via the type hints): per-worker setup is paid
+    # once per partition, not per Arrow batch — the right shape when the
+    # UDF carries heavy init
+    digest = hashlib.sha256  # stand-in for expensive setup (models, tables)
+    for s in batches:
+        yield s.map(lambda x: None if x is None else digest(x.encode("utf-8")).hexdigest())
+
+
+sha256_content_iter = pandas_udf(_sha256_iter, StringType())
