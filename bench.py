@@ -75,13 +75,14 @@ def main() -> None:
     # ---- CDC replay: the engine's headline number --------------------------
     n_events = max(int(20_000_000 * sf), 100_000)
     ev = change_events(spark, n_events, n_repos=500, paths_per_repo=2000, delete_frac=0.05)
-    # stage input to parquet so the measured replay reads real files
-    in_dir = tempfile.mkdtemp(prefix="bench-events-")
+    # stage input to parquet so the measured replay reads real files; RAM-backed
+    # when available so the number reflects the engine, not /tmp's disk
+    stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    in_dir = tempfile.mkdtemp(prefix="bench-events-", dir=stage_root)
+    lake_dir = tempfile.mkdtemp(prefix="bench-lake-", dir=stage_root)
     ev.write.mode("overwrite").parquet(in_dir)
     events = spark.read.parquet(in_dir)
-    table = create_repo_files_table(
-        spark, tempfile.mkdtemp(prefix="bench-lake-") + "/t", num_buckets=2 * cpus
-    )
+    table = create_repo_files_table(spark, lake_dir + "/t", num_buckets=2 * cpus)
     t0 = time.monotonic()
     replay_batch(table, events, epoch_id=0)
     replay_sec = time.monotonic() - t0
@@ -120,6 +121,10 @@ def main() -> None:
         )
     )
     spark.stop()
+    import shutil
+
+    shutil.rmtree(in_dir, ignore_errors=True)   # don't leave GBs on tmpfs
+    shutil.rmtree(lake_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
