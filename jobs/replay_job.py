@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--follow", action="store_true")
     ap.add_argument("--source-dedupe-watermark", default=None,
                     help="e.g. '10 minutes' to drop at-least-once source dupes")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="run lake compaction after every N committed epochs")
     args = ap.parse_args()
 
     spark = build_session(app_name="cdc-replay")
@@ -49,6 +51,7 @@ def main() -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.follow,
         source_dedupe_watermark=args.source_dedupe_watermark,
+        compact_every=args.compact_every,
     )
     for r in results:
         print(

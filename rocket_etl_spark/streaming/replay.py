@@ -207,6 +207,7 @@ def replay_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     source_dedupe_watermark: str | None = None,
+    compact_every: int | None = None,
 ) -> list[CommitResult]:
     """Tail ``events_dir`` and MERGE each micro-batch (exactly-once).
 
@@ -216,6 +217,11 @@ def replay_stream(
     via ``dropDuplicatesWithinWatermark`` on (repo, path, commit) before
     the MERGE (T4 in SURVEY.md §2.9); correctness never depends on it —
     the LWW merge guard already absorbs duplicates and reordering.
+
+    ``compact_every=N`` runs lake compaction after every N committed
+    epochs, dropping tombstones older than the stream's own low watermark
+    (the min event_seq of the epoch just applied — nothing earlier can be
+    re-delivered by this source) — the self-maintaining ingestion mode.
     """
     results: list[CommitResult] = []
 
@@ -236,6 +242,14 @@ def replay_stream(
         res.wall_ms = int((time.monotonic() - t0) * 1000)
         append_lineage(spark, table, res)
         results.append(res)
+        if (
+            compact_every
+            and not res.skipped
+            and len([r for r in results if not r.skipped]) % compact_every == 0
+        ):
+            from rocket_etl_spark.lake.maintenance import compact
+
+            compact(table, tombstone_watermark=res.event_seq_min)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", str(checkpoint_dir)
