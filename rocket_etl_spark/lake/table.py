@@ -207,6 +207,54 @@ class LakeTable:
             return out
         return out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
 
+    # ------------------------------------------------------- changelog read
+    def changes(self, from_snapshot: int, to_snapshot: int | None = None) -> DataFrame:
+        """Row-level changes committed after ``from_snapshot`` up to and
+        including ``to_snapshot`` (default: current) — the CDC-out surface
+        (Delta CDF / Iceberg changelog equivalent).
+
+        Free by construction: every MERGE stamps each written row with its
+        ``_action`` (insert/update/delete/keep/stale/tombstone), and a
+        commit's new files are identified by their ``commit-<snapshot>``
+        path prefix.  Only net changes are returned (keep/stale rows and
+        tombstone-noops are filtered); compaction snapshots contribute
+        nothing (they rewrite, they don't change).
+        """
+        cur = self.current_snapshot()
+        to_snapshot = cur["snapshot_id"] if to_snapshot is None else to_snapshot
+        current_schema = TableSchema.from_json(
+            cur["schemas"][str(cur["current_schema_version"])]
+        )
+        by_sv: dict[int, list[str]] = {}
+        for sid in range(from_snapshot + 1, to_snapshot + 1):
+            snap = self.snapshot(sid)
+            prefix = f"data/commit-{sid:08d}-"
+            for files in snap["buckets"].values():
+                for fe in files:
+                    if fe["path"].startswith(prefix):
+                        by_sv.setdefault(fe["sv"], []).append(str(self.path / fe["path"]))
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            fschema = TableSchema.from_json(cur["schemas"][str(sv)])
+            phys = fschema.to_struct().add("_deleted", "boolean", True).add(
+                "_action", "string", True
+            )
+            df = self.spark.read.schema(phys).parquet(*paths)
+            parts.append(
+                project_to(df, fschema, current_schema, passthrough=("_action",))
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [], current_schema.to_struct().add("change_type", "string", True)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.filter(F.col("_action").isin("insert", "update", "delete"))
+            .withColumnRenamed("_action", "change_type")
+        )
+
     # ------------------------------------------------------------- utility
     def key_cols(self) -> list[str]:
         return list(self.current_snapshot()["key_cols"])
