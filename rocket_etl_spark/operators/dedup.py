@@ -260,11 +260,21 @@ def simhash_pairs(
 
 
 # ----------------------------------------------------- embedding cosine
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    """Pairwise cosine; NULL for zero-norm vectors (try_divide — a single
+    all-zero embedding must not abort the job under ANSI mode).  In
+    self-joins prefer precomputing ``l2_norm`` per ROW before the join and
+    using ``try_divide(dot(a,b), na*nb)`` — this inline form recomputes
+    both norms for every PAIR (O(pairs·dim) extra work)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def embedding_neardup_pairs(
@@ -281,12 +291,24 @@ def embedding_neardup_pairs(
         F.col(id_col), F.col(block_col).alias("_blk"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    a = v.select(F.col(id_col).alias("id_a"), "_blk", F.col("_v").alias("_va"))
-    b = v.select(F.col(id_col).alias("id_b"), "_blk", F.col("_v").alias("_vb"))
+    # norms once per ROW (a projection + shuffle barrier so the join can't
+    # re-inline the norm expression per pair)
+    v = v.withColumn("_n", l2_norm(F.col("_v"))).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "_blk"
+    )
+    a = v.select(F.col(id_col).alias("id_a"), "_blk", F.col("_v").alias("_va"),
+                 F.col("_n").alias("_na"))
+    b = v.select(F.col(id_col).alias("id_b"), "_blk", F.col("_v").alias("_vb"),
+                 F.col("_n").alias("_nb"))
     return (
         a.join(b, on="_blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 4
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

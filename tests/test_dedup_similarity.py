@@ -80,6 +80,21 @@ def test_lsh_ann_subset_of_bruteforce_space(spark):
     assert approx.cos_sim.max() >= exact.cos_sim.iloc[-1]
 
 
+def test_zero_norm_vector_never_crashes_or_pairs(spark):
+    """ANSI mode throws on /0 — one all-zero embedding must not abort a
+    corpus-scale job (regression: caught live before try_divide)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 0.0], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    from rocket_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    topk = cosine_topk(df, query_id=1, k=5).collect()
+    assert {r.vec_id: r.cos_sim for r in topk}[3] is None
+
+
 def test_multimodal_metadata_decode_and_frames(spark):
     rows = [
         (1, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"x" * 2000),
