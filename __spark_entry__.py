@@ -306,10 +306,13 @@ def _date_funcs(spark, sf):
 
 def _math_funcs(spark, sf):
     li = _t(spark, sf, "lineitem")
+    # price_r1 uses the repo's hash-stable rounding convention (floor half-up,
+    # identical IEEE ops in both engines) — Spark's round(double, n) routes
+    # through BigDecimal HALF_UP and differs from DuckDB's in the last ulp.
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_r1"),
+        (F.floor(F.col("l_extendedprice") * 10 + 0.5) / 10).alias("price_r1"),
         F.floor(F.col("l_discount") * 100).alias("disc_pct"),
         F.ceil(F.col("l_tax") * 100).alias("tax_pct"),
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
@@ -473,7 +476,9 @@ def _text_token_stats(spark, sf):
         .groupBy("lang")
         .agg(
             F.sum("_n").alias("total_tokens"),
-            F.round(F.avg("_n"), 2).alias("avg_tokens"),
+            # floor half-up: avg(int) is exact (long sum / long count) in both
+            # engines, so this projection is bit-identical — plain round() isn't
+            (F.floor(F.avg("_n") * 100 + 0.5) / 100).alias("avg_tokens"),
             F.max("_n").alias("max_tokens"),
         )
     )
@@ -662,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
             "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start FROM orders"
         ),
         "math_funcs": (
-            "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS price_r1, "
+            "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * 10 + 0.5) / 10 AS price_r1, "
             "floor(l_discount * 100) AS disc_pct, ceil(l_tax * 100) AS tax_pct, "
             "abs(l_quantity - 25) AS qty_dev, l_orderkey % 7 AS okey_mod7 FROM lineitem"
         ),
@@ -772,7 +777,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_token_stats": (
-            "SELECT lang, sum(n) AS total_tokens, round(avg(n), 2) AS avg_tokens, "
+            "SELECT lang, sum(n) AS total_tokens, floor(avg(n) * 100 + 0.5) / 100 AS avg_tokens, "
             "max(n) AS max_tokens FROM (SELECT lang, "
             "len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents) GROUP BY lang"
         ),
