@@ -35,6 +35,11 @@ def main() -> None:
                     help="e.g. '10 minutes' to drop at-least-once source dupes")
     ap.add_argument("--compact-every", type=int, default=None,
                     help="run lake compaction after every N committed epochs")
+    ap.add_argument("--reorder-bound", type=int, default=None,
+                    help="max event_seq positions the source can deliver late; "
+                         "enables tombstone GC during --compact-every")
+    ap.add_argument("--app-id", default=None,
+                    help="exactly-once fence scope (default: derived from checkpoint)")
     args = ap.parse_args()
 
     spark = build_session(app_name="cdc-replay")
@@ -52,6 +57,8 @@ def main() -> None:
         available_now=not args.follow,
         source_dedupe_watermark=args.source_dedupe_watermark,
         compact_every=args.compact_every,
+        reorder_bound=args.reorder_bound,
+        app_id=args.app_id,
     )
     for r in results:
         print(

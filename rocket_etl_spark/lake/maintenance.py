@@ -67,6 +67,8 @@ def compact(table: LakeTable, tombstone_watermark: int | None = None) -> dict:
     new_snap["parent_id"] = snap["snapshot_id"]
     new_snap["epoch_id"] = None
     new_snap["buckets"] = new_buckets
+    # a compaction rewrites, it doesn't change: no changelog contribution
+    new_snap["added_files"] = {}
     new_snap["stats"] = {"compacted": True, "tombstones_dropped": int(dropped)}
     if not table._try_write_snapshot(new_snap):
         raise RuntimeError("lost commit race during compaction; retry")
@@ -78,28 +80,47 @@ def compact(table: LakeTable, tombstone_watermark: int | None = None) -> dict:
     }
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    table: LakeTable, keep_last: int = 2, orphan_min_age_s: float = 3600.0
+) -> dict:
     """Delete snapshots older than the newest ``keep_last`` and any data
-    files that no surviving snapshot references.  Time-travel to expired
-    snapshots stops working (by design)."""
+    files no surviving snapshot references.  Time-travel to expired
+    snapshots stops working (by design).
+
+    A file referenced by an *expired* snapshot is deletable immediately
+    (it was committed; only history pointed at it).  A file referenced by
+    NO snapshot at all may be an in-flight commit's output (written
+    pre-CAS) — deleting it would corrupt that commit if it wins — so
+    true orphans are only removed once older than ``orphan_min_age_s``
+    (Iceberg's remove_orphan_files age-guard, default 3 days there)."""
     snaps = table._snapshot_files()
     if len(snaps) <= keep_last:
-        return {"snapshots_removed": 0, "files_removed": 0}
-    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        keep, drop = snaps, []  # nothing expires; orphan GC still runs
+    else:
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
 
     import json
+    import time as _time
 
-    referenced: set[str] = set()
-    for p in keep:
-        with open(p) as f:
-            s = json.load(f)
-        for files in s["buckets"].values():
-            referenced.update(fe["path"] for fe in files)
+    def _refs(paths):
+        out: set[str] = set()
+        for p in paths:
+            with open(p) as f:
+                s = json.load(f)
+            for files in s["buckets"].values():
+                out.update(fe["path"] for fe in files)
+        return out
 
+    referenced = _refs(keep)
+    expired_refs = _refs(drop)
+
+    now = _time.time()
     files_removed = 0
     for data_file in (table.path / "data").rglob("*.parquet"):
         rel = str(data_file.relative_to(table.path))
-        if rel not in referenced:
+        if rel in referenced:
+            continue
+        if rel in expired_refs or now - data_file.stat().st_mtime >= orphan_min_age_s:
             data_file.unlink()
             files_removed += 1
     # prune now-empty commit dirs

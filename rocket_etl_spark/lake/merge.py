@@ -34,6 +34,18 @@ Execution shape (scale rationale inline):
 The MERGE is order-insensitive across and within batches: the LWW guard
 ``s.seq > t.seq`` means late/duplicate delivery converges to the same
 final state — idempotency does not depend on the watermark.
+
+Concurrency (CAS-loss) protocol: losing the snapshot CAS means another
+writer published first.  The loser REBASES onto the latest snapshot —
+carrying forward the winner's buckets and fences — iff its own touched
+buckets and the schema are untouched by the winner; a touched-bucket
+overlap means the merge was computed against stale rows, so it is
+recomputed from the latest snapshot (the orphaned first-attempt files
+are left for age-guarded ``expire_snapshots``).  A concurrent schema
+evolution raises ``CommitConflict`` — the caller re-aligns and retries
+(``replay_batch`` does this automatically).  Each snapshot records its
+own ``added_files`` explicitly, so changelog reads attribute files to
+the snapshot that actually published them regardless of retries.
 """
 
 from __future__ import annotations
@@ -45,9 +57,15 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from rocket_etl_spark.lake.table import LakeTable, bucket_of
+from rocket_etl_spark.lake.table import LakeTable, bucket_of, fence_add
 from rocket_etl_spark.operators.lww import lww_dedupe
 from rocket_etl_spark.schema.registry import TableSchema
+
+
+class CommitConflict(Exception):
+    """A concurrent commit changed the table in a way this merge cannot
+    rebase over (schema evolution raced this batch's own evolution).
+    Re-align the batch against the current schema and retry."""
 
 
 @dataclass
@@ -69,21 +87,38 @@ def merge_batch(
     batch: DataFrame,
     epoch_id: int | None = None,
     new_schema: TableSchema | None = None,
+    app_id: str = "default",
 ) -> CommitResult:
     """MERGE ``batch`` into ``table``; returns commit stats.
 
     ``batch`` must carry the table's columns (under ``new_schema`` if an
     evolution accompanies this commit) plus ``op`` ('upsert'|'delete').
-    ``epoch_id`` enables the exactly-once fence: an already-committed
-    epoch is a no-op.
-    """
+    ``epoch_id`` enables the exactly-once fence, scoped by ``app_id``
+    (one fence per stream/application — Delta's txnAppId/txnVersion
+    pattern): an epoch already committed under this app is a no-op,
+    while a different app's epoch numbering never collides."""
     t0 = time.monotonic()
+    while True:  # recompute loop: re-runs only on touched-bucket CAS conflict
+        snap = table.current_snapshot()
+        if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, snap):
+            return CommitResult(snap["snapshot_id"], epoch_id, skipped=True)
+        res = _merge_once(table, batch, snap, epoch_id, new_schema, app_id)
+        if res is not None:
+            res.wall_ms = int((time.monotonic() - t0) * 1000)
+            return res
+
+
+def _merge_once(
+    table: LakeTable,
+    batch: DataFrame,
+    snap: dict,
+    epoch_id: int | None,
+    new_schema: TableSchema | None,
+    app_id: str,
+) -> CommitResult | None:
+    """One merge attempt against basis snapshot ``snap``.  Returns the
+    CommitResult, or None when a CAS loss forces a full recompute."""
     spark = table.spark
-    snap = table.current_snapshot()
-
-    if epoch_id is not None and epoch_id in table.committed_epochs():
-        return CommitResult(snap["snapshot_id"], epoch_id, skipped=True)
-
     schema = new_schema or TableSchema.from_json(
         snap["schemas"][str(snap["current_schema_version"])]
     )
@@ -206,48 +241,161 @@ def merge_batch(
             ):
                 stat_map[r["_action"]] = int(r["count"])
 
-    # 5. assemble + CAS-commit the snapshot
-    new_buckets = dict(snap["buckets"])
-    for b in touched:
-        new_buckets[str(b)] = out_files.get(b, [])
-    schemas = dict(snap["schemas"])
-    schemas[str(schema.version)] = schema.to_json()
-    new_snap = {
-        "snapshot_id": snap["snapshot_id"] + 1,
-        "parent_id": snap["snapshot_id"],
-        "epoch_id": epoch_id,
-        "key_cols": keys,
-        "order_col": order_col,
-        "num_buckets": nb,
-        "current_schema_version": schema.version,
-        "schemas": schemas,
-        "buckets": new_buckets,
-        # cumulative fence set: survives snapshot expiry, O(1) lookups
-        "committed_epochs": sorted(
-            table.committed_epochs() | ({epoch_id} if epoch_id is not None else set())
-        ),
-        "stats": {"rows_in": rows_in},
-    }
-    while not table._try_write_snapshot(new_snap):
-        # lost the CAS: someone committed this id — re-check the fence
+    # 5. assemble + CAS-commit the snapshot; on CAS loss, REBASE onto the
+    # winner's snapshot (carry ITS buckets/fences forward) when our touched
+    # buckets and the schema are unaffected, else recompute/raise.
+    base = snap  # snapshot whose buckets/fences the new snapshot extends
+    while True:
+        new_buckets = dict(base["buckets"])
+        for b in touched:
+            new_buckets[str(b)] = out_files.get(b, [])
+        schemas = dict(base["schemas"])
+        schemas[str(schema.version)] = schema.to_json()
+        fences = table.fences(base)
+        if epoch_id is not None:
+            fences = fence_add(fences, app_id, epoch_id)
+        new_snap = {
+            "snapshot_id": base["snapshot_id"] + 1,
+            "parent_id": base["snapshot_id"],
+            "epoch_id": epoch_id,
+            "app_id": app_id,
+            "key_cols": keys,
+            "order_col": order_col,
+            "num_buckets": nb,
+            "current_schema_version": schema.version,
+            "schemas": schemas,
+            "buckets": new_buckets,
+            # this commit's own files, explicit — the changelog source
+            "added_files": {str(b): fl for b, fl in out_files.items()},
+            # bounded per-app fence: hwm + out-of-order window, never history
+            "fences": fences,
+            "stats": {"rows_in": rows_in},
+        }
+        if table._try_write_snapshot(new_snap):
+            return CommitResult(
+                snapshot_id=new_snap["snapshot_id"],
+                epoch_id=epoch_id,
+                skipped=False,
+                rows_in=rows_in,
+                rows_upserted=stat_map.get("insert", 0) + stat_map.get("update", 0),
+                rows_deleted=stat_map.get("delete", 0),
+                event_seq_min=seq_lo,
+                event_seq_max=seq_hi,
+                touched_buckets=len(touched),
+            )
+        # lost the CAS — someone else published base+1
         latest = table.current_snapshot()
-        if epoch_id is not None and epoch_id in table.committed_epochs():
+        if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, latest):
             return CommitResult(latest["snapshot_id"], epoch_id, skipped=True)
-        new_snap["snapshot_id"] = latest["snapshot_id"] + 1
-        new_snap["parent_id"] = latest["snapshot_id"]
-        new_snap["committed_epochs"] = sorted(
-            table.committed_epochs() | ({epoch_id} if epoch_id is not None else set())
+        if latest["current_schema_version"] != snap["current_schema_version"]:
+            # a concurrent schema evolution: our batch alignment (and any
+            # evolution we carry) was computed against a stale schema —
+            # rebasing field ids blindly could corrupt; caller re-aligns.
+            raise CommitConflict(
+                f"schema evolved concurrently (v{snap['current_schema_version']} -> "
+                f"v{latest['current_schema_version']}); re-align the batch and retry"
+            )
+        stale = [
+            b for b in touched
+            if latest["buckets"].get(str(b)) != snap["buckets"].get(str(b))
+        ]
+        if stale:
+            # our merged rows were derived from a stale read of these
+            # buckets — rebasing would lose the winner's rows; recompute
+            # against the latest snapshot (first-attempt files become
+            # orphans, removed later by age-guarded expire_snapshots).
+            return None
+        base = latest  # safe rebase: disjoint buckets, same schema
+
+
+def append_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch_id: int | None = None,
+    app_id: str = "default",
+) -> CommitResult:
+    """True append — the reference's ``upload_method='insert'`` (plain row
+    append, upstream ``pipeline/loaders.py`` [U]): rows are written into
+    their key buckets WITHOUT the LWW dedupe/join, so duplicate keys
+    accumulate exactly as the reference's datastore_insert would.  Do not
+    mix with upsert MERGEs on the same table: the MERGE contract assumes
+    one live row per key.
+
+    No read-modify-write of rows means a CAS loss always rebases (append
+    our file entries onto whatever the winner published); only the
+    exactly-once fence is re-checked."""
+    t0 = time.monotonic()
+    spark = table.spark
+    snap = table.current_snapshot()
+    if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, snap):
+        return CommitResult(snap["snapshot_id"], epoch_id, skipped=True)
+
+    schema = TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
+    keys = snap["key_cols"]
+    order_col = snap["order_col"]
+    nb = int(snap["num_buckets"])
+    if set(batch.columns) - {"op"} != set(schema.names()):
+        raise ValueError(
+            f"batch columns {sorted(batch.columns)} != schema {sorted(schema.names())}"
         )
 
-    return CommitResult(
-        snapshot_id=new_snap["snapshot_id"],
-        epoch_id=epoch_id,
-        skipped=False,
-        rows_in=rows_in,
-        rows_upserted=stat_map.get("insert", 0) + stat_map.get("update", 0),
-        rows_deleted=stat_map.get("delete", 0),
-        event_seq_min=seq_lo,
-        event_seq_max=seq_hi,
-        touched_buckets=len(touched),
-        wall_ms=int((time.monotonic() - t0) * 1000),
+    commit_tag = f"{snap['snapshot_id'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+    out_dir_rel = f"data/commit-{commit_tag}"
+    out_dir = table.path / out_dir_rel
+    (
+        batch.select(*schema.names())
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_action", F.lit("insert"))
+        .withColumn("_bucket", bucket_of(keys, nb))
+        .repartition(nb, "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(str(out_dir))
     )
+    out_files: dict[str, list[dict]] = {}
+    rows_in = 0
+    for bdir in sorted(out_dir.glob("_bucket=*")):
+        b = bdir.name.split("=")[1]
+        out_files[b] = [
+            {"path": f"{out_dir_rel}/{bdir.name}/{p.name}", "sv": schema.version}
+            for p in sorted(bdir.iterdir())
+            if p.name.endswith(".parquet")
+        ]
+    all_new = [str(table.path / fe["path"]) for fl in out_files.values() for fe in fl]
+    if all_new:
+        rows_in = spark.read.schema("_action string").parquet(*all_new).count()
+
+    base = snap
+    while True:
+        new_buckets = {b: list(fl) for b, fl in base["buckets"].items()}
+        for b, fl in out_files.items():
+            new_buckets[b] = new_buckets.get(b, []) + fl
+        fences = table.fences(base)
+        if epoch_id is not None:
+            fences = fence_add(fences, app_id, epoch_id)
+        new_snap = {
+            **{k: base[k] for k in (
+                "key_cols", "order_col", "num_buckets", "current_schema_version", "schemas"
+            )},
+            "snapshot_id": base["snapshot_id"] + 1,
+            "parent_id": base["snapshot_id"],
+            "epoch_id": epoch_id,
+            "app_id": app_id,
+            "buckets": new_buckets,
+            "added_files": out_files,
+            "fences": fences,
+            "stats": {"rows_in": rows_in, "appended": True},
+        }
+        if table._try_write_snapshot(new_snap):
+            return CommitResult(
+                snapshot_id=new_snap["snapshot_id"],
+                epoch_id=epoch_id,
+                skipped=False,
+                rows_in=rows_in,
+                rows_upserted=rows_in,
+                touched_buckets=len(out_files),
+                wall_ms=int((time.monotonic() - t0) * 1000),
+            )
+        latest = table.current_snapshot()
+        if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, latest):
+            return CommitResult(latest["snapshot_id"], epoch_id, skipped=True)
+        base = latest

@@ -13,9 +13,15 @@ The north rule targets Iceberg MERGE with snapshot-id + epoch fencing
   ``snapshot-<n+1>.json``.  ``link`` fails if the name exists, so exactly
   one writer wins snapshot n+1 and a torn/partial snapshot can never be
   observed (the temp is fully written and fsynced first).
-* **Epoch fencing** — ``committed_epochs()`` is derived from the chain;
-  a replayed ``foreachBatch`` epoch whose id is already in the chain is
-  skipped, giving exactly-once MERGE effects under at-least-once retries.
+* **Epoch fencing** — per-application fences (Delta's txnAppId/txnVersion
+  pattern): each snapshot carries ``fences[app_id] = {hwm, above}`` where
+  ``hwm`` is the contiguous high-watermark (every epoch ≤ hwm committed)
+  and ``above`` the sparse set of committed epochs beyond it.  The record
+  is exact, O(out-of-order window) in size — zero extra entries for a
+  Structured Streaming source, whose batch ids are contiguous — and never
+  grows with history.  App scoping means a NEW checkpoint (epochs restart
+  at 0) pointed at an existing table gets a fresh fence instead of being
+  silently skipped against another stream's epoch numbers.
 * **Bucketed copy-on-write** — rows hash into ``num_buckets`` buckets by
   key (``pmod(xxhash64(repo, path), N)``); a MERGE rewrites only touched
   buckets and re-links the rest from the parent snapshot.  This is the
@@ -42,6 +48,29 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from rocket_etl_spark.schema.registry import TableSchema, project_to
 
 _SNAP_RE = re.compile(r"snapshot-(\d{8})\.json$")
+
+
+def _fence_from_set(app_id: str, epochs: set) -> dict:
+    """Exact {hwm, above} encoding of an arbitrary committed-epoch set."""
+    hwm = -1
+    while hwm + 1 in epochs:
+        hwm += 1
+    return {app_id: {"hwm": hwm, "above": sorted(e for e in epochs if e > hwm)}}
+
+
+def fence_add(fences: dict, app_id: str, epoch_id: int) -> dict:
+    """Return ``fences`` with (app_id, epoch_id) recorded committed.
+
+    Advances the contiguous high-watermark greedily so the sparse
+    ``above`` set stays bounded by the out-of-order commit window."""
+    f = fences.get(app_id, {"hwm": -1, "above": []})
+    hwm, above = f["hwm"], set(f["above"])
+    if epoch_id > hwm:
+        above.add(epoch_id)
+    while hwm + 1 in above:
+        hwm += 1
+        above.discard(hwm)
+    return {**fences, app_id: {"hwm": hwm, "above": sorted(above)}}
 
 
 def bucket_of(key_cols: Sequence[str], num_buckets: int) -> Column:
@@ -116,23 +145,46 @@ class LakeTable:
         with open(self.snap_dir / f"snapshot-{snapshot_id:08d}.json") as f:
             return json.load(f)
 
-    def committed_epochs(self) -> set:
-        """Epoch ids ever committed (the exactly-once fence).
+    def fences(self, snap: dict | None = None) -> dict:
+        """Per-app exactly-once fences from the tip snapshot:
+        ``{app_id: {"hwm": int, "above": [int, ...]}}``.
 
-        The set is carried forward cumulatively in each snapshot, so the
-        check is O(1) (read the tip) and survives snapshot expiry.  Falls
-        back to a full chain scan for pre-cumulative snapshots."""
-        snap = self.current_snapshot()
+        ``hwm`` = contiguous high-watermark (every epoch ≤ hwm is
+        committed); ``above`` = committed epochs beyond it.  Exact, and
+        bounded by the out-of-order commit window instead of history
+        (10^5 streaming epochs → one integer).  Legacy snapshots carrying
+        a cumulative ``committed_epochs`` list are converted on read."""
+        snap = snap if snap is not None else self.current_snapshot()
         if snap is None:
-            return set()
-        if "committed_epochs" in snap:
-            return set(snap["committed_epochs"])
+            return {}
+        if "fences" in snap:
+            return snap["fences"]
+        if "committed_epochs" in snap:  # legacy cumulative-list snapshots
+            return _fence_from_set("default", set(snap["committed_epochs"]))
         out = set()
         for p in self._snapshot_files():
             with open(p) as f:
                 e = json.load(f).get("epoch_id")
             if e is not None:
                 out.add(e)
+        return _fence_from_set("default", out)
+
+    def is_epoch_committed(
+        self, epoch_id: int, app_id: str = "default", snap: dict | None = None
+    ) -> bool:
+        f = self.fences(snap).get(app_id)
+        return bool(f) and (epoch_id <= f["hwm"] or epoch_id in set(f["above"]))
+
+    def committed_epochs(self, app_id: str | None = None) -> set:
+        """Committed epoch ids — for ``app_id`` or the union over apps.
+
+        Materializes ``range(hwm + 1)``, so it is a test/observability
+        helper; the fence check itself is ``is_epoch_committed`` (O(1))."""
+        out: set = set()
+        for app, f in self.fences().items():
+            if app_id is not None and app != app_id:
+                continue
+            out |= set(range(f["hwm"] + 1)) | set(f["above"])
         return out
 
     def _try_write_snapshot(self, snap: dict) -> bool:
@@ -214,11 +266,13 @@ class LakeTable:
         (Delta CDF / Iceberg changelog equivalent).
 
         Free by construction: every MERGE stamps each written row with its
-        ``_action`` (insert/update/delete/keep/stale/tombstone), and a
-        commit's new files are identified by their ``commit-<snapshot>``
-        path prefix.  Only net changes are returned (keep/stale rows and
-        tombstone-noops are filtered); compaction snapshots contribute
-        nothing (they rewrite, they don't change).
+        ``_action`` (insert/update/delete/keep/stale/tombstone), and each
+        snapshot records the files its commit added in ``added_files``
+        (explicit, so a CAS-retried commit is attributed to the snapshot
+        that actually published it — never inferred from path prefixes).
+        Only net changes are returned (keep/stale rows and tombstone-noops
+        are filtered); compaction snapshots contribute nothing (they
+        rewrite, they don't change).
         """
         cur = self.current_snapshot()
         to_snapshot = cur["snapshot_id"] if to_snapshot is None else to_snapshot
@@ -228,6 +282,12 @@ class LakeTable:
         by_sv: dict[int, list[str]] = {}
         for sid in range(from_snapshot + 1, to_snapshot + 1):
             snap = self.snapshot(sid)
+            if "added_files" in snap:
+                for files in snap["added_files"].values():
+                    for fe in files:
+                        by_sv.setdefault(fe["sv"], []).append(str(self.path / fe["path"]))
+                continue
+            # legacy snapshots: fall back to the commit-path-prefix heuristic
             prefix = f"data/commit-{sid:08d}-"
             for files in snap["buckets"].values():
                 for fe in files:

@@ -25,7 +25,7 @@ from pathlib import Path
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from rocket_etl_spark.lake.merge import CommitResult, merge_batch
+from rocket_etl_spark.lake.merge import CommitResult, append_batch, merge_batch
 from rocket_etl_spark.lake.table import LakeTable
 from rocket_etl_spark.schema.registry import TableSchema
 from rocket_etl_spark.sources.readers import read_source
@@ -100,8 +100,9 @@ def load(df: DataFrame, spec: JobSpec) -> CommitResult | None:
 
     upsert    — keyed LWW MERGE into a lake table (creates it on first run;
                 the reference's ``upload_method='upsert'``),
-    insert    — append rows as a MERGE with unique synthetic keys disabled:
-                here simply an upsert where every row is new,
+    insert    — TRUE append (``append_batch``): rows land in their buckets
+                with no dedupe/join, duplicate keys accumulate — the
+                reference's ``upload_method='insert'`` semantics exactly,
     overwrite — the reference's wipe/full-refresh (``always_wipe_data``),
     file      — plain file sink (``FileLoader``).
     """
@@ -122,6 +123,8 @@ def load(df: DataFrame, spec: JobSpec) -> CommitResult | None:
             )
         else:
             table = LakeTable.load(spark, d.path)
+        if d.mode == "insert":
+            return append_batch(table, df.drop("op") if "op" in df.columns else df)
         batch = df if "op" in df.columns else df.withColumn("op", F.lit("upsert"))
         return merge_batch(table, batch)
     if d.mode == "overwrite":
@@ -141,6 +144,7 @@ def _wipe_snapshot(table: LakeTable) -> bool:
     snap["parent_id"] = snap["snapshot_id"] - 1
     snap["epoch_id"] = None
     snap["buckets"] = {}
+    snap["added_files"] = {}
     snap["stats"] = {"wiped": True}
     return table._try_write_snapshot(snap)
 

@@ -24,7 +24,7 @@ from pyspark.sql.types import Row
 
 from rocket_etl_spark.functions.hashing import sha256_expr
 from rocket_etl_spark.functions.lang import normalize_lang
-from rocket_etl_spark.lake.merge import CommitResult, merge_batch
+from rocket_etl_spark.lake.merge import CommitConflict, CommitResult, merge_batch
 from rocket_etl_spark.lake.table import LakeTable
 from rocket_etl_spark.schema.registry import TableSchema
 
@@ -156,11 +156,23 @@ def replay_batch(
     epoch_id: int | None = None,
     renames: dict[str, str] | None = None,
     use_pandas_udfs: bool = False,
+    app_id: str = "default",
 ) -> CommitResult:
-    """One-shot batch replay: transform → align → MERGE."""
+    """One-shot batch replay: transform → align → MERGE.
+
+    A ``CommitConflict`` (another writer evolved the schema between our
+    alignment and our commit) is absorbed by re-aligning against the
+    now-current schema and retrying — the merge itself already rebases
+    or recomputes over concurrent data commits."""
     prepared = prepare_events(events, use_pandas_udfs=use_pandas_udfs)
-    aligned, new_schema = align_batch(table, prepared, renames)
-    return merge_batch(table, aligned, epoch_id=epoch_id, new_schema=new_schema)
+    while True:
+        aligned, new_schema = align_batch(table, prepared, renames)
+        try:
+            return merge_batch(
+                table, aligned, epoch_id=epoch_id, new_schema=new_schema, app_id=app_id
+            )
+        except CommitConflict:
+            continue
 
 
 # --------------------------------------------------------------- lineage
@@ -208,6 +220,8 @@ def replay_stream(
     available_now: bool = True,
     source_dedupe_watermark: str | None = None,
     compact_every: int | None = None,
+    reorder_bound: int | None = None,
+    app_id: str | None = None,
 ) -> list[CommitResult]:
     """Tail ``events_dir`` and MERGE each micro-batch (exactly-once).
 
@@ -219,10 +233,25 @@ def replay_stream(
     the LWW merge guard already absorbs duplicates and reordering.
 
     ``compact_every=N`` runs lake compaction after every N committed
-    epochs, dropping tombstones older than the stream's own low watermark
-    (the min event_seq of the epoch just applied — nothing earlier can be
-    re-delivered by this source) — the self-maintaining ingestion mode.
+    epochs — the self-maintaining ingestion mode.  Tombstones are only
+    purged when ``reorder_bound`` is given: the purge watermark is the
+    current epoch's min event_seq minus that bound, so an out-of-order
+    source (events up to ``reorder_bound`` seq positions late, e.g.
+    ``generate.change_events(shuffle_bound=B)``) can never resurrect a
+    deleted row by re-delivering a stale upsert after its guarding
+    tombstone was purged.  Without the bound, compaction still merges
+    small files but keeps every tombstone (always safe).
+
+    ``app_id`` scopes the exactly-once fence (default: derived from the
+    checkpoint path) — a NEW checkpoint pointed at an existing table gets
+    fresh epoch numbering instead of colliding with a previous stream's.
     """
+    if app_id is None:
+        import hashlib
+
+        app_id = "stream-" + hashlib.sha256(
+            str(Path(checkpoint_dir).resolve()).encode()
+        ).hexdigest()[:12]
     results: list[CommitResult] = []
 
     reader = spark.readStream.schema(events_ddl)
@@ -238,7 +267,9 @@ def replay_stream(
         t0 = time.monotonic()
         prepared = prepare_events(batch_df)
         aligned, new_schema = align_batch(table, prepared, renames)
-        res = merge_batch(table, aligned, epoch_id=epoch_id, new_schema=new_schema)
+        res = merge_batch(
+            table, aligned, epoch_id=epoch_id, new_schema=new_schema, app_id=app_id
+        )
         res.wall_ms = int((time.monotonic() - t0) * 1000)
         append_lineage(spark, table, res)
         results.append(res)
@@ -249,7 +280,16 @@ def replay_stream(
         ):
             from rocket_etl_spark.lake.maintenance import compact
 
-            compact(table, tombstone_watermark=res.event_seq_min)
+            # purge watermark = redelivery low-watermark, NOT this epoch's
+            # min: a later file may still carry older (stale) upserts up to
+            # reorder_bound positions back; their guarding tombstones must
+            # outlive that window or a deleted row resurrects.
+            wm = (
+                res.event_seq_min - reorder_bound
+                if (reorder_bound is not None and res.event_seq_min is not None)
+                else None
+            )
+            compact(table, tombstone_watermark=wm)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", str(checkpoint_dir)

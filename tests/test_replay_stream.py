@@ -86,17 +86,34 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
 
 
 def test_stream_crash_replay_is_fenced(spark, tmp_path):
-    """Simulated foreachBatch retry: a fresh checkpoint re-delivers every
-    batch, but the lake's epoch fence keys on epoch ids — here we prove the
-    stronger property: even re-merging ALL data without a fence converges
-    (LWW guard), and with matching epoch ids commits are skipped."""
+    """Fence scoping (Delta txnAppId/txnVersion semantics): a DIFFERENT
+    checkpoint is a different stream whose epochs restart at 0, so its
+    commits must NOT be skipped against the first stream's numbering —
+    they re-apply and the LWW guard converges to the identical state.
+    The SAME fence scope (same app_id) replaying the same epochs IS
+    skipped — the actual crash-retry case."""
     _write_batches(spark, tmp_path / "events", n_batches=2, seed=13)
     table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
     r1 = replay_stream(spark, table, tmp_path / "events", tmp_path / "ckpt1")
     s1 = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
-    # "crashed before checkpoint write" → new checkpoint replays same epochs
+    # a NEW checkpoint is a NEW stream: same epoch ids, fresh fence scope —
+    # commits apply (not silently skipped) and LWW converges to same state
     r2 = replay_stream(spark, table, tmp_path / "events", tmp_path / "ckpt2")
     s2 = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
     assert [r.epoch_id for r in r2] == [r.epoch_id for r in r1]
-    assert all(r.skipped for r in r2)  # identical epoch ids → fenced
+    assert not any(r.skipped for r in r2)  # different scope → not fenced
     pd.testing.assert_frame_equal(s1, s2, check_dtype=False)
+    # the crash-retry case: same fence scope, same epochs → skipped
+    r3 = replay_stream(
+        spark, table, tmp_path / "events", tmp_path / "ckpt3", app_id="pinned"
+    )
+    r4 = replay_stream(
+        spark, table, tmp_path / "events", tmp_path / "ckpt4", app_id="pinned"
+    )
+    assert not any(r.skipped for r in r3)
+    assert all(r.skipped for r in r4)
+    pd.testing.assert_frame_equal(
+        s1,
+        table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True),
+        check_dtype=False,
+    )
