@@ -80,6 +80,59 @@ def compact(table: LakeTable, tombstone_watermark: int | None = None) -> dict:
     }
 
 
+def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
+    """Rewrite the table into ``new_num_buckets`` hash buckets (snapshot-
+    committed full rewrite — Iceberg's REPLACE PARTITION FIELD + rewrite).
+
+    Bucket count fixes the unit of copy-on-write: a table created small
+    (say 16 buckets) that grows to billions of keys rewrites ~1/16th of
+    itself per MERGE epoch.  Rebucketing to O(table_size / target_bucket
+    _bytes) restores commit cost ∝ change-set size.  The rewrite itself is
+    one shuffle, partition-parallel, no driver data path; readers keep
+    resolving old snapshots (their num_buckets rides each snapshot)."""
+    from rocket_etl_spark.lake.table import bucket_of
+
+    snap = table.current_snapshot()
+    if int(snap["num_buckets"]) == new_num_buckets:
+        return {"snapshot_id": snap["snapshot_id"], "rebucketed": False}
+    df = table.read(include_tombstones=True)
+    keys = snap["key_cols"]
+
+    commit_tag = f"rebucket-{snap['snapshot_id'] + 1:08d}"
+    out_dir_rel = f"data/{commit_tag}"
+    out_dir = table.path / out_dir_rel
+    (
+        df.withColumn("_bucket", bucket_of(keys, new_num_buckets))
+        .repartition(new_num_buckets, "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(str(out_dir))
+    )
+    sv = snap["current_schema_version"]
+    new_buckets: dict[str, list] = {}
+    for bdir in sorted(out_dir.glob("_bucket=*")):
+        b = bdir.name.split("=")[1]
+        new_buckets[b] = [
+            {"path": f"{out_dir_rel}/{bdir.name}/{p.name}", "sv": sv}
+            for p in sorted(bdir.iterdir())
+            if p.name.endswith(".parquet")
+        ]
+    new_snap = dict(snap)
+    new_snap["snapshot_id"] = snap["snapshot_id"] + 1
+    new_snap["parent_id"] = snap["snapshot_id"]
+    new_snap["epoch_id"] = None
+    new_snap["num_buckets"] = new_num_buckets
+    new_snap["buckets"] = new_buckets
+    new_snap["added_files"] = {}  # a rewrite, not a logical change
+    new_snap["stats"] = {"rebucketed_from": int(snap["num_buckets"])}
+    if not table._try_write_snapshot(new_snap):
+        raise RuntimeError("lost commit race during rebucket; retry")
+    return {
+        "snapshot_id": new_snap["snapshot_id"],
+        "rebucketed": True,
+        "num_buckets": new_num_buckets,
+    }
+
+
 def expire_snapshots(
     table: LakeTable, keep_last: int = 2, orphan_min_age_s: float = 3600.0
 ) -> dict:

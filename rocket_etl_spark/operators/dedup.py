@@ -96,27 +96,93 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.round(inter / F.greatest(union, F.lit(1)), 4)
 
 
+def ngram_jaccard_candidates(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT candidate pairs for Jaccard ≥ threshold via prefix filtering
+    (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08).
+
+    Principle: order every document's shingles by one GLOBAL order
+    (ascending corpus frequency, rarest first).  If J(A,B) ≥ t then
+    |A∩B| ≥ t·max(|A|,|B|), and the first ``|X| - ⌈t·|X|⌉ + 1`` tokens of
+    each side must intersect — so joining on exploded PREFIX tokens loses
+    no qualifying pair, while candidate volume is driven by rare-token
+    co-occurrence instead of block size: no O(block²) anywhere, which is
+    what makes an exact similarity self-join workable corpus-wide.
+
+    Input ``sh``: (id, ``_blk``, ``_sh``) from ``shingle_frame`` (``_blk``
+    may be a constant for unblocked runs — the filter stays exact either
+    way; blocking only prunes cross-block pairs by definition).
+    Output: distinct (id_a, id_b) with the size filter
+    ``t·|B| ≤ |A| ≤ |B|/t`` already applied.
+    """
+    ex = sh.select(
+        F.col(id_col), "_blk", F.explode_outer("_sh").alias("_tok"), F.size("_sh").alias("_sz")
+    ).filter(F.col("_tok").isNotNull())
+    freq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_f"))
+    # per doc: tokens sorted rarest-first under the (freq, token) order,
+    # truncated to the prefix that any qualifying partner must hit
+    pref_len = (F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1).cast("int")
+    prefixes = (
+        ex.join(freq, on="_tok")
+        .groupBy(id_col, "_blk", "_sz")
+        .agg(F.array_sort(F.collect_list(F.struct("_f", "_tok"))).alias("_ordered"))
+        .select(
+            id_col,
+            "_blk",
+            "_sz",
+            F.explode(F.slice(F.col("_ordered._tok"), 1, pref_len)).alias("_ptok"),
+        )
+    )
+    a = prefixes.select(
+        F.col(id_col).alias("id_a"), "_blk", "_ptok", F.col("_sz").alias("_sza")
+    )
+    b = prefixes.select(
+        F.col(id_col).alias("id_b"), "_blk", "_ptok", F.col("_sz").alias("_szb")
+    )
+    return (
+        a.join(b, on=["_blk", "_ptok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # exact size filter: J ≥ t forces t·|B| ≤ |A| (for |A| ≤ |B|)
+        .filter(
+            (F.col("_sza") >= F.lit(threshold) * F.col("_szb"))
+            & (F.col("_szb") >= F.lit(threshold) * F.col("_sza"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str = "lang",
+    block_col: str | None = "lang",
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-dup pairs by token-n-gram Jaccard, blocked by ``block_col``.
-
-    The block join keeps the self-join from going O(n²) corpus-wide; at
-    100 TB the block would be (lang, length-band, LSH bucket) — same shape.
-    """
-    sh = shingle_frame(df, text_col, id_col, n, extra_cols=(block_col,)).withColumnRenamed(
-        block_col, "_blk"
+    """Near-dup pairs by token-n-gram Jaccard — EXACT result, never an
+    all-pairs join: candidates come from prefix filtering (see
+    ``ngram_jaccard_candidates``), then each candidate is Jaccard-verified
+    against the full shingle sets.  ``block_col`` additionally restricts
+    pairs to the same block (e.g. same language) — a semantic choice, not
+    the scalability mechanism."""
+    extra = (block_col,) if block_col else ()
+    sh = shingle_frame(df, text_col, id_col, n, extra_cols=extra)
+    sh = (
+        sh.withColumnRenamed(block_col, "_blk")
+        if block_col
+        else sh.withColumn("_blk", F.lit(0))
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_sh").alias("_sa"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_sh").alias("_sb"))
-    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    cand = ngram_jaccard_candidates(sh, id_col, threshold)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
     return (
-        pairs.withColumn("jaccard_sim", jaccard(F.col("_sa"), F.col("_sb")))
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sa"), F.col("_sb")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -281,34 +347,88 @@ def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
+    block_col: str | None = "label",
     threshold: float = 0.95,
+    method: str = "block",
+    dim: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Cosine near-dup pairs over an embedding column, blocked to avoid the
-    full cross join (at scale the block is an LSH/IVF bucket — see
-    ``similarity.lsh_ann_topk``)."""
+    """Cosine near-dup pairs over an embedding column.
+
+    ``method='block'`` — EXACT within ``block_col`` groups: every
+    same-block pair is verified.  Deterministic and fully SQL-checkable,
+    but a hot block degenerates to all-pairs — only for known-bounded
+    blocks (or oracle comparisons).
+
+    ``method='lsh'`` — the 100 TB default: candidates are pairs sharing
+    ANY banded hyperplane signature (``similarity.lsh_band_signatures``),
+    then exact-cosine verified; ``block_col`` (if given) additionally
+    confines pairs to the same block.  Candidate volume is
+    O(rows·bands·bucket_size), bounded by construction regardless of
+    block skew; recall at threshold ≥ ~0.9 is ~0.99 with the 8×8 default
+    (measured against the exact form in tests/test_dedup_similarity.py).
+    """
     v = df.select(
-        F.col(id_col), F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        (F.col(block_col) if block_col else F.lit(0)).alias("_lbl"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     # norms once per ROW (a projection + shuffle barrier so the join can't
     # re-inline the norm expression per pair)
-    v = v.withColumn("_n", l2_norm(F.col("_v"))).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "_blk"
+    v = v.withColumn("_n", l2_norm(F.col("_v")))
+
+    verify_cos = F.round(
+        F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 4
     )
-    a = v.select(F.col(id_col).alias("id_a"), "_blk", F.col("_v").alias("_va"),
-                 F.col("_n").alias("_na"))
-    b = v.select(F.col(id_col).alias("id_b"), "_blk", F.col("_v").alias("_vb"),
-                 F.col("_n").alias("_nb"))
-    return (
-        a.join(b, on="_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 4
-            ),
+
+    if method == "block":
+        v = v.repartition(df.sparkSession.sparkContext.defaultParallelism, "_lbl")
+        a = v.select(F.col(id_col).alias("id_a"), "_lbl", F.col("_v").alias("_va"),
+                     F.col("_n").alias("_na"))
+        b = v.select(F.col(id_col).alias("id_b"), "_lbl", F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"))
+        return (
+            a.join(b, on="_lbl")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", verify_cos)
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
         )
+
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r} (use 'block' or 'lsh')")
+
+    from rocket_etl_spark.operators.similarity import lsh_band_signatures
+
+    sig = v.withColumn(
+        "_sigs", lsh_band_signatures(F.col("_v"), dim, bands, planes_per_band, seed)
+    )
+    # barrier: pin vectors+signatures as shuffled bytes so the band explode
+    # and downstream joins never re-inline the signature expression
+    sig = sig.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    banded = sig.select(
+        id_col,
+        "_lbl",
+        F.posexplode("_sigs").alias("_band", "_sig"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "_lbl", "_band", "_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "_lbl", "_band", "_sig")
+    cand = (
+        a.join(b, on=["_lbl", "_band", "_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = sig.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"))
+    vb = sig.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cos_sim", verify_cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -65,6 +65,43 @@ def lsh_signature(vec: Column, dim: int, planes: int = 12, seed: int = 42) -> Co
     return sig
 
 
+def lsh_band_signatures(
+    vec: Column, dim: int, bands: int = 8, planes_per_band: int = 8, seed: int = 42
+) -> Column:
+    """Array of ``bands`` independent sign-bit signatures (banded
+    hyperplane LSH, the cosine analog of MinHash banding): two vectors
+    are candidates iff ANY band signature matches, so recall at high
+    cosine is ``1-(1-p^r)^b`` with per-plane agreement
+    ``p = 1 - θ/π`` — e.g. cos ≥ 0.95, 8×8 → ~0.99 recall — while a
+    band bucket holds ~n/2^r rows: candidate volume is O(n·b·bucket),
+    never O(block²).
+
+    One pass: all ``bands·planes_per_band`` dot products ride a single
+    nested higher-order expression over a literal plane matrix."""
+    planes = bands * planes_per_band
+    mat = F.array(
+        *[F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)]) for p in range(planes)]
+    )
+    bits = F.transform(
+        mat,
+        lambda hp: F.when(
+            F.aggregate(
+                F.zip_with(vec, hp, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * planes_per_band + 1, planes_per_band),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + x,
+        ),
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_id: int,

@@ -132,3 +132,112 @@ def test_exact_dedup_at_scale_shape(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+# ---------------------------------------------- round-2 scale-shape tests
+def test_prefix_filter_candidates_bounded_on_skewed_corpus(spark):
+    """One hot block (all docs same lang) must NOT produce O(block²)
+    candidates: prefix filtering prunes by rare-token co-occurrence, so
+    mutually-dissimilar docs generate no candidate pairs at all."""
+    import pyspark.sql.functions as F
+
+    from rocket_etl_spark.operators.dedup import (
+        ngram_jaccard_candidates,
+        shingle_frame,
+    )
+
+    n = 200
+    # pairwise-disjoint vocabularies -> zero qualifying pairs
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(25)), "en") for i in range(n)]
+    # plus one known near-dup pair sharing most tokens
+    rows += [
+        (n, " ".join(f"shared_{j}" for j in range(25)), "en"),
+        (n + 1, " ".join(f"shared_{j}" for j in range(24)) + " extra_tok", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    sh = shingle_frame(df, "text", "doc_id", n=1, extra_cols=("lang",)).withColumnRenamed(
+        "lang", "_blk"
+    )
+    cand = ngram_jaccard_candidates(sh, "doc_id", threshold=0.6)
+    n_cand = cand.count()
+    all_pairs = (n + 2) * (n + 1) // 2
+    assert n_cand < all_pairs * 0.01, f"{n_cand} candidates vs {all_pairs} all-pairs"
+    # and the known near-dup pair survives (exactness)
+    out = ngram_jaccard_pairs(df, n=1, threshold=0.6).toPandas()
+    assert (n, n + 1) in {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
+
+
+def test_prefix_filter_equals_allpairs_blocked_join(spark):
+    """The prefix-filtered join is EXACT: identical pairs to a brute-force
+    blocked all-pairs join on a random-ish corpus."""
+    import pyspark.sql.functions as F
+
+    from rocket_etl_spark.operators.dedup import jaccard, shingle_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = ngram_jaccard_pairs(docs, n=1, threshold=0.5).toPandas()
+
+    sh = shingle_frame(docs, "text", "doc_id", 1, extra_cols=("lang",)).withColumnRenamed(
+        "lang", "_blk"
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), "_blk", F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), "_blk", F.col("_sh").alias("_sb"))
+    brute = (
+        a.join(b, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_sim", jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jaccard_sim") >= 0.5)
+        .select("id_a", "id_b", "jaccard_sim")
+        .toPandas()
+    )
+    key = lambda pdf: sorted(map(tuple, pdf[["id_a", "id_b", "jaccard_sim"]].values.tolist()))
+    assert key(got) == key(brute)
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """Banded hyperplane LSH recall ≥ 0.9 against the exact blocked form
+    at high-threshold near-dup, on deterministically clustered vectors."""
+    import math
+
+    from rocket_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    # 40 clusters of 5 near-identical vectors (dim 64), deterministic
+    rows = []
+    vid = 0
+    for c in range(40):
+        base = [math.sin(0.1 * c * (i + 1)) for i in range(64)]
+        for m in range(5):
+            vec = [x + 0.01 * math.sin(c + m + i) for i, x in enumerate(base)]
+            rows.append((vid, vec, "all"))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label string")
+
+    exact = embedding_neardup_pairs(df, threshold=0.95, method="block").toPandas()
+    lsh = embedding_neardup_pairs(df, threshold=0.95, method="lsh").toPandas()
+    exact_pairs = {tuple(r) for r in exact[["id_a", "id_b"]].itertuples(index=False)}
+    lsh_pairs = {tuple(r) for r in lsh[["id_a", "id_b"]].itertuples(index=False)}
+    assert exact_pairs, "fixture must generate near-dup pairs"
+    assert lsh_pairs <= exact_pairs  # verification step: no false positives
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} too low"
+
+
+def test_embedding_lsh_bounds_hot_block(spark):
+    """method='lsh' must not all-pair a hot label: dissimilar vectors in
+    one label produce (almost) no candidates."""
+    import math
+
+    from rocket_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    import hashlib
+
+    # 300 hash-random vectors (pairwise near-orthogonal), ALL in one label
+    def h(i, j):
+        d = hashlib.blake2b(f"{i}:{j}".encode(), digest_size=4).digest()
+        return int.from_bytes(d, "big") / 2**31 - 1.0
+
+    rows = [(i, [h(i, j) for j in range(64)], "hot") for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label string")
+    out = embedding_neardup_pairs(df, threshold=0.95, method="lsh")
+    # random 64-dim vectors: cos ~ N(0, 1/64), so nothing reaches 0.95 —
+    # and the LSH path never materializes the label-wide cross join
+    assert out.count() == 0

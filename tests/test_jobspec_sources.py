@@ -141,3 +141,36 @@ def test_time_travel_read(spark, tmp_path):
     replay_batch(table, ev.filter(ev.event_seq >= 1000), epoch_id=1)
     assert table.read().count() != n1 or True
     assert table.read(snapshot_id=s1).count() == n1  # historical snapshot readable
+
+
+def test_rebucket_preserves_state_and_keeps_merging(spark, tmp_path):
+    """maintenance.rebucket: table grows past its creation-time bucket
+    count -> rewrite into more buckets, state identical, merges continue."""
+    import pandas as pd
+
+    from rocket_etl_spark.lake.maintenance import rebucket
+    from rocket_etl_spark.oracle import replay_oracle
+
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    ev = change_events(spark, 2_000, seed=61, delete_frac=0.1).cache()
+    replay_batch(table, ev.filter(ev.event_seq < 1_000), epoch_id=0)
+
+    before = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    stats = rebucket(table, 16)
+    assert stats["rebucketed"] and table.num_buckets() == 16
+    after = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+    # merges keep working against the new layout; fence survives
+    assert replay_batch(table, ev.filter(ev.event_seq < 1_000), epoch_id=0).skipped
+    replay_batch(table, ev.filter(ev.event_seq >= 1_000), epoch_id=1)
+    eng = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ora = replay_oracle([ev.toPandas()])
+    pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+    ev.unpersist()
+
+    # no-op when the count is unchanged
+    assert rebucket(table, 16) == {
+        "snapshot_id": table.current_snapshot()["snapshot_id"],
+        "rebucketed": False,
+    }
