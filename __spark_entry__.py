@@ -426,12 +426,18 @@ def _dedup_ngram_jaccard(spark, sf):
     )
 
 
-def _dedup_minhash(spark, sf):  # rows-only: xxhash64 sketch not ANSI-SQL
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.4)
+def _dedup_minhash(spark, sf):
+    # hash_fn='md5': identical banded-LSH algorithm over the cross-engine
+    # md5_60bit hash, so the DuckDB oracle replays the sketch exactly
+    # (xxhash64 stays the production default — see operators/dedup.py)
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.4, hash_fn="md5")
 
 
-def _dedup_simhash(spark, sf):  # rows-only: blake2 bit sketch not ANSI-SQL
-    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=12)
+def _dedup_simhash(spark, sf):
+    # impl='expr': 60-bit md5-based simhash in JVM exprs, bit-replayable
+    # in the DuckDB oracle (the blake2 pandas-UDF impl stays the custom-
+    # Python showcase, pytest-verified)
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=12, impl="expr")
 
 
 def _dedup_embedding(spark, sf):
@@ -537,6 +543,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_token_stats": _text_token_stats,
     }
+
+
+# --------------------------------------------------------------------------
+# generated oracle SQL for the sketch queries: DuckDB replays the exact
+# sketch algorithms over the cross-engine md5-60bit hash
+# (('0x'||substr(md5(x),1,15))::BIGINT == Spark conv(substr(md5(x),1,15),16,10))
+# --------------------------------------------------------------------------
+
+def _duck_md5i(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
+                        threshold: float = 0.4) -> str:
+    rpb = num_hashes // bands
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    sig_list = ", ".join(
+        "list_min(list_transform(th, h -> {m}))".format(
+            m=_duck_md5i(f"h::VARCHAR || ':{j}'")
+        )
+        for j in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=" || ',' || ".join(
+                f"g[{b * rpb + r + 1}]::VARCHAR" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    jac = ("round(len(list_intersect(sa.s, sb.s))::DOUBLE / "
+           "greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1), 4)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {shingle})) AS s
+  FROM toks
+), tokh AS (
+  SELECT doc_id, s, list_transform(s, x -> {_duck_md5i('x')}) AS th FROM sh
+), sig AS (
+  SELECT doc_id, [{sig_list}] AS g FROM tokh
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, {jac} AS jaccard_sim
+FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+WHERE {jac} >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 12, block_bits: int = 16) -> str:
+    return f"""
+WITH tokh AS (
+  SELECT doc_id, list_transform(
+    regexp_split_to_array(trim(text), '\\s+'), x -> {_duck_md5i('x')}) AS th
+  FROM documents
+), sig AS (
+  SELECT doc_id, list_sum(list_transform(range(0, 60), i ->
+    CASE WHEN list_sum(list_transform(th, h ->
+      CASE WHEN (h & (1::BIGINT << i)) <> 0 THEN 1 ELSE -1 END)) > 0
+    THEN (1::BIGINT << i) ELSE 0 END)) AS sim
+  FROM tokh
+), blocked AS (
+  SELECT doc_id, sim, sim >> {60 - block_bits} AS blk FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim)) AS hamming
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+def _knn_lsh_oracle_sql(query_id: int = 0, k: int = 10, dim: int = 64,
+                        planes: int = 12, probe_hamming: int = 2,
+                        seed: int = 42) -> str:
+    from rocket_etl_spark.operators.similarity import _hyperplane
+
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{hp}]) > 0 THEN {p2}::BIGINT ELSE 0 END)".format(
+            hp=", ".join(str(x) for x in _hyperplane(dim, p, seed)), p2=1 << p
+        )
+        for p in range(planes)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {sig_terms} AS s
+  FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+), q AS (
+  SELECT embedding AS qe, s AS qs FROM sig WHERE vec_id = {query_id}
+)
+SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qe), 4) AS cos_sim
+FROM sig e, q
+WHERE e.vec_id <> {query_id} AND bit_count(xor(e.s, q.qs)) <= {probe_hamming}
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -781,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
             "max(n) AS max_tokens FROM (SELECT lang, "
             "len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents) GROUP BY lang"
         ),
-        # rows-only (no ANSI-SQL expressible oracle — sketch hash functions):
-        # dedup_minhash, dedup_simhash, knn_lsh
+        # sketch queries: DuckDB replays the exact algorithms over the
+        # cross-engine md5-60bit hash (generated SQL above)
+        "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "knn_lsh": _knn_lsh_oracle_sql(),
     }

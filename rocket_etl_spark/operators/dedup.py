@@ -189,6 +189,16 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------------- minhash
+def md5_60bit(c: Column) -> Column:
+    """60-bit integer hash both engines compute identically: the first 15
+    hex chars of md5, parsed base-16.  Spark ``conv(substr(md5,1,15),16,10)``
+    equals DuckDB ``('0x'||substr(md5,1,15))::BIGINT`` byte-for-byte
+    (verified cross-engine incl. unicode) — the primitive that makes the
+    sketch queries DuckDB-oracle-checkable.  ~5x slower than xxhash64, so
+    it is the ORACLE hash; xxhash64 stays the production default."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_signature(text_col: str | Column, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash sketch: for seed j, min over shingles of xxhash64(shingle, j).
 
@@ -209,6 +219,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, then exact-Jaccard
     verified.  Shuffle volume is O(rows × bands), never O(rows²): docs
@@ -217,7 +228,13 @@ def minhash_lsh_pairs(
     Scale shape: shingles explode to (id, shingle) rows, the ``num_hashes``
     minima reduce in ONE hash aggregation (map-side combine) — the sketch
     never recomputes the shingle expression per seed, and signature width
-    is columns, not nested lambdas (keeps codegen linear)."""
+    is columns, not nested lambdas (keeps codegen linear).
+
+    ``hash_fn='xxhash64'`` is the production default (fastest JVM hash).
+    ``hash_fn='md5'`` computes the identical algorithm over ``md5_60bit``
+    (band bucket = the comma-joined signature slice) so a DuckDB oracle
+    can replay the whole sketch bit-for-bit — the harness correctness
+    mode."""
     rows_per_band = num_hashes // bands
     sh_df = shingle_frame(df, text_col, id_col, n)
 
@@ -228,25 +245,43 @@ def minhash_lsh_pairs(
     # the shingle projection and re-inlines the token split PER ELEMENT
     # (~150 regex splits/row, measured 10x slower).  Outer explode infers
     # no filter; the null guard below runs after the Generate instead.
+    if hash_fn == "md5":
+        tok_h = md5_60bit(F.col("_s"))
+
+        def seed_h(j: int) -> Column:
+            return md5_60bit(F.concat(F.col("_tok").cast("string"), F.lit(f":{j}")))
+
+        def band_bucket(b: int) -> Column:
+            return F.concat_ws(
+                ",", *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+    elif hash_fn == "xxhash64":
+        tok_h = F.xxhash64("_s")
+
+        def seed_h(j: int) -> Column:
+            return F.xxhash64("_tok", F.lit(j))
+
+        def band_bucket(b: int) -> Column:
+            return F.xxhash64(
+                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).cast("string")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     ex = (
         sh_df.select(id_col, F.explode_outer("_sh").alias("_s"))
         .filter(F.col("_s").isNotNull())
-        .select(id_col, F.xxhash64("_s").alias("_tok"))
+        .select(id_col, tok_h.alias("_tok"))
     )
     sig = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("_tok", F.lit(j))).alias(f"_h{j}") for j in range(num_hashes)]
+        *[F.min(seed_h(j)).alias(f"_h{j}") for j in range(num_hashes)]
     )
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -302,18 +337,67 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+_POW2_60 = [1 << i for i in range(60)]
+
+
+def simhash60_from_hashes(th: Column) -> Column:
+    """60-bit SimHash from a (materialized) array of ``md5_60bit`` token
+    hashes — pure JVM expressions, and bit-replayable in DuckDB SQL
+    (the oracle twin lives in ``__spark_entry__.oracle_sql``).
+
+    bit i of the signature = 1 iff Σ_tokens (2·bit_i(hash) − 1) > 0.
+    Pass a COLUMN REFERENCE to an already-projected hash array (not an
+    inline expression): the per-bit aggregate references it 60×, and
+    Catalyst would re-inline an expression operand per bit."""
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2_60])
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda i: F.when(
+                F.aggregate(
+                    th,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc
+                    + F.when(h.bitwiseAND(F.element_at(pow2, i + 1)) != 0, 1).otherwise(-1),
+                )
+                > 0,
+                F.element_at(pow2, i + 1),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
     block_bits: int = 16,
+    impl: str = "udf",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on the top
     ``block_bits`` bits (docs differing only in low bits still collide;
-    the classic multi-probe trade-off, good enough as a candidate stage)."""
-    s = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sim"))
-    s = s.withColumn("_blk", F.shiftrightunsigned(F.col("_sim"), 64 - block_bits))
+    the classic multi-probe trade-off, good enough as a candidate stage).
+
+    ``impl='udf'`` — 64-bit blake2b signature via the vectorized pandas
+    UDF (the custom-Python surface).  ``impl='expr'`` — 60-bit md5-based
+    signature in pure JVM expressions, bit-replayable in DuckDB SQL for
+    the harness oracle.  Same algorithm, different hash basis."""
+    if impl == "expr":
+        sig_bits = 60
+        toked = df.select(
+            F.col(id_col),
+            F.transform(tokens(F.col(text_col)), md5_60bit).alias("_th"),
+        ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+        s = toked.select(F.col(id_col), simhash60_from_hashes(F.col("_th")).alias("_sim"))
+    elif impl == "udf":
+        sig_bits = 64
+        s = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sim"))
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    s = s.withColumn("_blk", F.shiftrightunsigned(F.col("_sim"), sig_bits - block_bits))
     a = s.select(F.col(id_col).alias("id_a"), F.col("_sim").alias("_ha"), "_blk")
     b = s.select(F.col(id_col).alias("id_b"), F.col("_sim").alias("_hb"), "_blk")
     return (

@@ -241,3 +241,34 @@ def test_embedding_lsh_bounds_hot_block(spark):
     # random 64-dim vectors: cos ~ N(0, 1/64), so nothing reaches 0.95 —
     # and the LSH path never materializes the label-wide cross join
     assert out.count() == 0
+
+
+def test_md5_60bit_matches_duckdb(spark):
+    """The cross-engine hash primitive behind every sketch oracle:
+    Spark conv(substr(md5,1,15),16,10) == DuckDB ('0x'||...)::BIGINT."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from rocket_etl_spark.operators.dedup import md5_60bit
+
+    samples = ["hello", "wörld ünïcode", "", "tok:17", "a b  c", "日本語テスト"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r.h for r in df.select(md5_60bit(F.col("s")).alias("h")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.sql("SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", params=[s]).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
+
+
+def test_simhash_expr_agrees_with_udf_on_ordering(spark):
+    """Both simhash impls must agree on which pairs are closest (same
+    algorithm, different hash basis)."""
+    out = simhash_pairs(_docs(spark), max_hamming=20, impl="expr").toPandas()
+    found = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1, 2) in found  # exact dups: hamming 0
+    h = dict(zip(map(tuple, out[["id_a", "id_b"]].values.tolist()), out["hamming"]))
+    assert h[(1, 2)] == 0
+    if (1, 3) in h:  # near-dup strictly farther than exact dup
+        assert h[(1, 3)] > 0
