@@ -149,5 +149,23 @@ def _wipe_snapshot(table: LakeTable) -> bool:
     return table._try_write_snapshot(snap)
 
 
-def run_job(spark: SparkSession, spec: JobSpec) -> CommitResult | None:
-    return load(transform(extract(spark, spec), spec), spec)
+def run_job(spark: SparkSession, spec: JobSpec, notifier=None) -> CommitResult | None:
+    """Extract → transform → load, with the reference's per-run
+    success/failure notification (upstream ``engine/notify.py`` [U]) —
+    see ``rocket_etl_spark.notify``; notifier errors never fail the run."""
+    from rocket_etl_spark.notify import safe_notify
+
+    try:
+        res = load(transform(extract(spark, spec), spec), spec)
+    except Exception as e:
+        safe_notify(notifier, {
+            "kind": "job", "name": spec.name, "status": "failure", "error": str(e),
+        })
+        raise
+    safe_notify(notifier, {
+        "kind": "job", "name": spec.name, "status": "success",
+        "rows_in": getattr(res, "rows_in", None),
+        "rows_upserted": getattr(res, "rows_upserted", None),
+        "snapshot_id": getattr(res, "snapshot_id", None),
+    })
+    return res

@@ -209,6 +209,49 @@ def read_lineage(spark: SparkSession, table: LakeTable) -> DataFrame:
 
 
 # -------------------------------------------------------------- streaming
+def kafka_event_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    events_ddl: str = EVENTS_DDL,
+    starting_offsets: str = "earliest",
+    options: dict | None = None,
+) -> DataFrame:
+    """Production change-stream tail: a Kafka topic of JSON change events
+    (the binlog transport the file-source directory stands in for —
+    SURVEY.md §2.9 T1).  Returns a streaming DataFrame with the same
+    columns as the file source, so ``replay_stream(stream_df=...)`` is a
+    drop-in swap.
+
+    Jar-gated like the Iceberg backend: ``spark-sql-kafka-0-10`` is not
+    in this sandbox (SURVEY.md §0), so the gate raises a clean
+    NotImplementedError here; on a cluster the reader works unchanged."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:
+        if "kafka" in str(e).lower() and (
+            "failed to find" in str(e).lower() or "data source" in str(e).lower()
+        ):
+            raise NotImplementedError(
+                "Kafka source requires the spark-sql-kafka-0-10 runtime jar "
+                "(absent in this sandbox); pass --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+                "on a cluster"
+            ) from e
+        raise
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), events_ddl).alias("_e")
+    ).select("_e.*")
+
+
 def replay_stream(
     spark: SparkSession,
     table: LakeTable,
@@ -222,6 +265,8 @@ def replay_stream(
     compact_every: int | None = None,
     reorder_bound: int | None = None,
     app_id: str | None = None,
+    stream_df: DataFrame | None = None,
+    notifier=None,
 ) -> list[CommitResult]:
     """Tail ``events_dir`` and MERGE each micro-batch (exactly-once).
 
@@ -245,7 +290,15 @@ def replay_stream(
     ``app_id`` scopes the exactly-once fence (default: derived from the
     checkpoint path) — a NEW checkpoint pointed at an existing table gets
     fresh epoch numbering instead of colliding with a previous stream's.
+
+    ``stream_df`` swaps the source: pass ``kafka_event_stream(...)`` (or
+    any streaming DataFrame with the event columns) instead of the file
+    directory.  ``notifier`` (see ``rocket_etl_spark.notify``) receives a
+    per-epoch event and a final stream summary; notifier failures never
+    fail the run.
     """
+    from rocket_etl_spark.notify import safe_notify
+
     if app_id is None:
         import hashlib
 
@@ -254,10 +307,13 @@ def replay_stream(
         ).hexdigest()[:12]
     results: list[CommitResult] = []
 
-    reader = spark.readStream.schema(events_ddl)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(str(events_dir))
+    if stream_df is not None:
+        stream = stream_df
+    else:
+        reader = spark.readStream.schema(events_ddl)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.parquet(str(events_dir))
 
     if source_dedupe_watermark:
         stream = stream.withWatermark("event_ts", source_dedupe_watermark)
@@ -273,6 +329,12 @@ def replay_stream(
         res.wall_ms = int((time.monotonic() - t0) * 1000)
         append_lineage(spark, table, res)
         results.append(res)
+        safe_notify(notifier, {
+            "kind": "epoch", "app_id": app_id, "epoch_id": res.epoch_id,
+            "status": "success", "skipped": res.skipped, "rows_in": res.rows_in,
+            "rows_upserted": res.rows_upserted, "rows_deleted": res.rows_deleted,
+            "snapshot_id": res.snapshot_id, "wall_ms": res.wall_ms,
+        })
         if (
             compact_every
             and not res.skipped
@@ -296,7 +358,21 @@ def replay_stream(
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except Exception:
+            safe_notify(notifier, {
+                "kind": "stream", "app_id": app_id, "status": "failure",
+                "epochs": len(results),
+            })
+            raise
+        safe_notify(notifier, {
+            "kind": "stream", "app_id": app_id, "status": "success",
+            "epochs": len(results),
+            "rows_in": sum(r.rows_in for r in results),
+            "rows_upserted": sum(r.rows_upserted for r in results),
+            "rows_deleted": sum(r.rows_deleted for r in results),
+        })
     else:
         q = writer.start()
         return results  # caller manages the query lifecycle

@@ -23,8 +23,9 @@ def test_oracle_keys_subset_of_queries():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # the rows-only exceptions are exactly the non-SQL-expressible sketches
-    assert set(qs) - set(oracles) == {"dedup_minhash", "dedup_simhash", "knn_lsh"}
+    # every query is oracle-checked since round 2 (the sketch queries run
+    # over the cross-engine md5-60bit hash, replayed in generated SQL)
+    assert set(qs) == set(oracles)
     assert len(qs) >= 40
 
 

@@ -82,8 +82,13 @@ def test_overwrite_job_wipes_then_loads(spark, tmp_path):
 def test_source_errors_and_checksum(spark, tmp_path):
     with pytest.raises(ValueError, match="declared schema"):
         read_source(spark, SourceSpec(format="csv", path="/nope"))
-    with pytest.raises(NotImplementedError, match="no network"):
-        read_source(spark, SourceSpec(format="http", path="http://x"))
+    # http is fully implemented down to the socket; in this offline
+    # sandbox only the transport itself fails (URLError), proving the
+    # fetch→read pipeline is real and the network is the sole gate
+    import urllib.error
+
+    with pytest.raises((urllib.error.URLError, OSError)):
+        read_source(spark, SourceSpec(format="http", path="http://x/y.parquet"))
     p = tmp_path / "f.txt"
     p.write_text("hello")
     import hashlib
@@ -174,3 +179,116 @@ def test_rebucket_preserves_state_and_keeps_merging(spark, tmp_path):
         "snapshot_id": table.current_snapshot()["snapshot_id"],
         "rebucketed": False,
     }
+
+
+def test_http_source_via_file_transport(spark, tmp_path):
+    """Remote connector end-to-end against file:// — everything but the
+    socket: fetch-to-dir staging, checksum, declared-schema read, load."""
+    import json
+
+    from rocket_etl_spark.plans.jobspec import DestSpec, JobSpec, SourceSpec, run_job
+    from rocket_etl_spark.sources.remote import fetch_to_dir
+
+    src_csv = tmp_path / "remote" / "data.csv"
+    src_csv.parent.mkdir()
+    src_csv.write_text("id,name\n1,alpha\n2,beta\n")
+
+    # transport-level check: fetch + checksum
+    meta = fetch_to_dir(f"file://{src_csv}", tmp_path / "stage")
+    assert meta["bytes"] == src_csv.stat().st_size and len(meta["checksum"]) == 64
+
+    # jobspec-level: http-shaped source spec through the full pipeline
+    spec = JobSpec(
+        name="remote-csv",
+        source=SourceSpec(
+            format="http",
+            path=f"file://{src_csv}",
+            schema_ddl="id int, name string",
+            options={"inner_format": "csv", "stage_dir": str(tmp_path / "stage2")},
+        ),
+        dest=DestSpec(mode="file", path=str(tmp_path / "out"), file_format="parquet"),
+    )
+    run_job(spark, spec)
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas().sort_values("id")
+    assert list(out.name) == ["alpha", "beta"]
+
+    # unsupported scheme fails cleanly
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported remote scheme"):
+        fetch_to_dir("gopher://x/y", tmp_path / "stage3")
+
+
+def test_kafka_source_is_cleanly_gated(spark):
+    import pytest
+
+    from rocket_etl_spark.streaming.replay import kafka_event_stream
+
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        kafka_event_stream(spark, "localhost:9092", "changes")
+
+
+def test_notifier_receives_job_and_epoch_events(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from rocket_etl_spark.notify import FileNotifier, safe_notify
+    from rocket_etl_spark.plans.jobspec import DestSpec, JobSpec, SourceSpec, run_job
+
+    events_log = tmp_path / "notify.jsonl"
+    notifier = FileNotifier(events_log)
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,name\n1,a\n")
+    ok = JobSpec(
+        name="notify-ok",
+        source=SourceSpec(format="csv", path=str(src), schema_ddl="id int, name string"),
+        dest=DestSpec(mode="file", path=str(tmp_path / "o1")),
+    )
+    run_job(spark, ok, notifier=notifier)
+
+    bad = JobSpec(
+        name="notify-bad",
+        source=SourceSpec(format="csv", path=str(tmp_path / "missing.csv"),
+                          schema_ddl="id int"),
+        dest=None,
+    )
+    with pytest.raises(Exception):
+        run_job(spark, bad, notifier=notifier)
+
+    evs = [json.loads(line) for line in events_log.read_text().splitlines()]
+    by = {(e["name"], e["status"]) for e in evs if e["kind"] == "job"}
+    assert ("notify-ok", "success") in by and ("notify-bad", "failure") in by
+
+    # a broken notifier must never fail the caller
+    def boom(_e):
+        raise RuntimeError("webhook down")
+
+    safe_notify(boom, {"kind": "job"})  # no raise
+
+
+def test_stream_notifier_epoch_events(spark, tmp_path):
+    import json
+    import pathlib
+    import shutil
+    import tempfile
+
+    from rocket_etl_spark.notify import FileNotifier
+    from rocket_etl_spark.streaming.replay import replay_stream
+
+    ev = change_events(spark, 1_000, seed=71, delete_frac=0.1)
+    (tmp_path / "events").mkdir()
+    t = tempfile.mkdtemp()
+    ev.coalesce(1).write.parquet(t + "/o")
+    part = next(pathlib.Path(t + "/o").glob("part-*.parquet"))
+    shutil.move(str(part), str(tmp_path / "events" / "b0.parquet"))
+
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    log = tmp_path / "notify.jsonl"
+    replay_stream(spark, table, tmp_path / "events", tmp_path / "ckpt",
+                  notifier=FileNotifier(log))
+    evs = [json.loads(line) for line in log.read_text().splitlines()]
+    kinds = [e["kind"] for e in evs]
+    assert kinds.count("epoch") >= 1 and kinds[-1] == "stream"
+    assert evs[-1]["status"] == "success" and evs[-1]["rows_in"] == 1_000
