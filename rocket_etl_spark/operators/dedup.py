@@ -262,9 +262,11 @@ def minhash_lsh_pairs(
             return F.xxhash64("_tok", F.lit(j))
 
         def band_bucket(b: int) -> Column:
+            # bigint bucket: 8-byte shuffle key (the md5 mode's string
+            # bucket exists only for SQL replayability)
             return F.xxhash64(
                 *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).cast("string")
+            )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
 

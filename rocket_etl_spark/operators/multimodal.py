@@ -63,6 +63,8 @@ def decode_image_batches(
     (schema, batching, partitioning) so the pipeline is fully testable.
     """
 
+    out_cols = [f.split()[0] for f in IMAGE_FEATURES_DDL.split(", ")]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
@@ -70,21 +72,27 @@ def decode_image_batches(
                     "image decode requires PIL/ffmpeg (not in this container); "
                     "pass fake=True for the deterministic test decoder"
                 )
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[bin_col]) if r[bin_col] is not None else b""
-                w, h, luma = _fake_decode(payload)
-                rows.append(
-                    {
-                        "asset_id": r[id_col],
-                        "media_type": r.get("media_type", "unknown"),
-                        "n_bytes": len(payload),
-                        "width": w,
-                        "height": h,
-                        "mean_luma": luma,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.split()[0] for f in IMAGE_FEATURES_DDL.split(", ")])
+            # vectorized batch shape: one Series.map over the payload column
+            # (a real codec drop-in replaces _fake_decode with e.g.
+            # PIL-open-per-element or a batch API, never per-row iterrows —
+            # the whole batch stays a columnar frame end to end)
+            payloads = pdf[bin_col].map(lambda p: bytes(p) if p is not None else b"")
+            decoded = payloads.map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].to_numpy(),
+                    "media_type": (
+                        pdf["media_type"].to_numpy()
+                        if "media_type" in pdf.columns
+                        else "unknown"
+                    ),
+                    "n_bytes": payloads.map(len).to_numpy(),
+                    "width": decoded.map(lambda t: t[0]).to_numpy(),
+                    "height": decoded.map(lambda t: t[1]).to_numpy(),
+                    "mean_luma": decoded.map(lambda t: t[2]).to_numpy(),
+                },
+                columns=out_cols,
+            )
 
     cols = [id_col, bin_col] + (["media_type"] if "media_type" in df.columns else [])
     return df.select(*cols).mapInPandas(run, IMAGE_FEATURES_DDL)
