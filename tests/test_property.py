@@ -65,3 +65,62 @@ def test_any_order_any_batching_matches_oracle(spark, tmp_path_factory, batches)
         assert len(eng) == 0
         return
     pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+
+
+# ------------------------------------------------- round-2 property tests
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=120),
+)
+@settings(max_examples=200, deadline=None)
+def test_fence_encoding_is_exact(epochs):
+    """{hwm, above} must encode EXACTLY the committed set under any commit
+    order (duplicates included), with `above` bounded by the gap window."""
+    from rocket_etl_spark.lake.table import fence_add
+
+    fences: dict = {}
+    committed: set = set()
+    for e in epochs:
+        fences = fence_add(fences, "app", e)
+        committed.add(e)
+        f = fences["app"]
+        got = set(range(f["hwm"] + 1)) | set(f["above"])
+        assert got == committed
+        assert f["hwm"] + 1 not in set(f["above"])  # hwm fully advanced
+        # 'above' never exceeds the number of distinct uncommitted gaps
+        assert len(f["above"]) <= max(committed) - f["hwm"] if committed else True
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=12),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7]),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_exact_on_random_corpora(spark, docs, threshold):
+    """Prefix filtering must return EXACTLY the brute-force pair set for
+    arbitrary token multisets and thresholds (unigram shingles)."""
+    import pyspark.sql.functions as F
+
+    from rocket_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, " ".join(toks), "x") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, n=1, threshold=threshold).collect()
+    }
+    # brute force in plain python
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = max(len(sets[a] | sets[b]), 1)
+                if round(inter / union, 4) >= threshold:
+                    want.add((a, b))
+    assert got == want
