@@ -88,6 +88,7 @@ def merge_batch(
     epoch_id: int | None = None,
     new_schema: TableSchema | None = None,
     app_id: str = "default",
+    derived_cols: dict | None = None,
 ) -> CommitResult:
     """MERGE ``batch`` into ``table``; returns commit stats.
 
@@ -96,13 +97,22 @@ def merge_batch(
     ``epoch_id`` enables the exactly-once fence, scoped by ``app_id``
     (one fence per stream/application — Delta's txnAppId/txnVersion
     pattern): an epoch already committed under this app is a no-op,
-    while a different app's epoch numbering never collides."""
+    while a different app's epoch numbering never collides.
+
+    ``derived_cols`` ({name: Column expr over batch columns}) are table
+    columns computed AFTER the LWW dedupe, on winner rows only, and must
+    therefore be pure functions of other columns (sha256 of content, a
+    normalization).  Excluding them from the pre-dedupe batch keeps their
+    bytes out of the dedupe shuffle/sort and skips computing them for
+    rows that lose the LWW race — measured ~2x on the end-to-end replay
+    for the 64-char content_sha256 column.  They may not be key or order
+    columns (winners are chosen before they exist)."""
     t0 = time.monotonic()
     while True:  # recompute loop: re-runs only on touched-bucket CAS conflict
         snap = table.current_snapshot()
         if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, snap):
             return CommitResult(snap["snapshot_id"], epoch_id, skipped=True)
-        res = _merge_once(table, batch, snap, epoch_id, new_schema, app_id)
+        res = _merge_once(table, batch, snap, epoch_id, new_schema, app_id, derived_cols)
         if res is not None:
             res.wall_ms = int((time.monotonic() - t0) * 1000)
             return res
@@ -115,10 +125,12 @@ def _merge_once(
     epoch_id: int | None,
     new_schema: TableSchema | None,
     app_id: str,
+    derived_cols: dict | None = None,
 ) -> CommitResult | None:
     """One merge attempt against basis snapshot ``snap``.  Returns the
     CommitResult, or None when a CAS loss forces a full recompute."""
     spark = table.spark
+    derived_cols = derived_cols or {}
     schema = new_schema or TableSchema.from_json(
         snap["schemas"][str(snap["current_schema_version"])]
     )
@@ -126,7 +138,9 @@ def _merge_once(
     order_col = snap["order_col"]
     nb = int(snap["num_buckets"])
 
-    expect = set(schema.names()) | {"op"}
+    if set(derived_cols) & (set(keys) | {order_col}):
+        raise ValueError("derived_cols may not include key or order columns")
+    expect = (set(schema.names()) | {"op"}) - set(derived_cols)
     if set(batch.columns) != expect:
         raise ValueError(f"batch columns {sorted(batch.columns)} != expected {sorted(expect)}")
 
@@ -152,6 +166,10 @@ def _merge_once(
     seq_hi = max((r["hi"] for r in plan_rows), default=None)
 
     deduped = lww_dedupe(batch, keys=keys, order_col=order_col)
+    # derived columns join the row AFTER the dedupe: winners only, and the
+    # dedupe shuffle never carries their bytes
+    for c, expr in derived_cols.items():
+        deduped = deduped.withColumn(c, expr)
 
     out_files: dict[int, list[dict]] = {}
     stat_map: dict[str, int] = {}
