@@ -490,6 +490,92 @@ def _text_token_stats(spark, sf):
     )
 
 
+# -------------------------------------------- end-to-end CDC engine queries
+# The engine's own headline pipeline (synthesize change events → replay
+# through the real lake MERGE → read the final state / the changelog),
+# oracle-checked: DuckDB recomputes the LWW-converged state in pure SQL.
+
+_CDC_LANGS_IN = ["py", "C++", "golang", "rust", "js", "SQL", "Java"]
+_CDC_LANGS_NORM = ["python", "cpp", "go", "rust", "javascript", "sql", "java"]
+
+# the oracle emits the POST-normalization lang directly — checking the
+# engine's normalize_lang output against the known alias targets
+_CDC_EV_SQL = (
+    "SELECT event_id AS event_seq, "
+    "CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op, "
+    "'repo-' || (user_id % 50)::VARCHAR AS repo, "
+    "'src/' || event_type || '.txt' AS path, "
+    "'c' || event_id::VARCHAR AS cmt, "
+    "[" + ", ".join(f"'{x}'" for x in _CDC_LANGS_NORM) + "]"
+    "[(event_id % 7)::INT + 1] AS lang, "
+    "props AS content FROM events"
+)
+
+
+def _synth_cdc_events(spark, sf):
+    """Deterministic change events derived from the ``events`` table —
+    every column a pure function of event_id, so the DuckDB oracle can
+    re-derive the identical stream.  Dirty lang labels exercise the
+    normalize_lang path; every 17th event is a delete."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        F.col("event_id").alias("event_seq"),
+        F.col("ts").alias("event_ts"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.concat(F.lit("repo-"), (F.col("user_id") % 50).cast("string")).alias("repo"),
+        F.concat(F.lit("src/"), F.col("event_type"), F.lit(".txt")).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string")).alias("commit"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _CDC_LANGS_IN]),
+            (F.col("event_id") % 7).cast("int") + 1,
+        ).alias("lang"),
+        F.col("props").alias("content"),
+    )
+
+
+def _cdc_tmp_table(spark, sf, tag):
+    import hashlib
+    import shutil
+
+    from rocket_etl_spark.streaming.replay import create_repo_files_table
+
+    h = hashlib.md5(f"{sf}:{tag}".encode()).hexdigest()[:8]
+    d = f"/tmp/rocket_etl_cdc/{tag}-{h}"
+    shutil.rmtree(d, ignore_errors=True)  # a stale previous run must never leak in
+    return create_repo_files_table(spark, f"{d}/t", num_buckets=8)
+
+
+_CDC_STATE_COLS = [
+    "repo", "path", "lang", "content", "content_sha256", "last_commit", "last_event_seq",
+]
+
+
+def _cdc_replay_e2e(spark, sf):
+    """Full engine path: events → LWW dedupe → epoch-fenced MERGE into a
+    lake table → read back the converged state."""
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    table = _cdc_tmp_table(spark, sf, "replay")
+    replay_batch(table, _synth_cdc_events(spark, sf), epoch_id=0)
+    return table.read().select(*_CDC_STATE_COLS)
+
+
+def _cdc_changes(spark, sf):
+    """Changelog (CDC-out): replay two epochs (event_seq split at max/2),
+    return the row-level changes the second epoch committed."""
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "changes")
+    replay_batch(table, ev.filter(F.col("event_seq") <= thr), epoch_id=0)
+    snap_mid = table.current_snapshot()["snapshot_id"]
+    replay_batch(table, ev.filter(F.col("event_seq") > thr), epoch_id=1)
+    return table.changes(from_snapshot=snap_mid).select(*_CDC_STATE_COLS, "change_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_parquet": _scan_parquet,
@@ -542,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_fingerprint": _text_fingerprint,
         "text_token_stats": _text_token_stats,
+        "cdc_replay_e2e": _cdc_replay_e2e,
+        "cdc_changes": _cdc_changes,
     }
 
 
@@ -894,4 +982,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
+        # end-to-end engine queries: the oracle recomputes the LWW-converged
+        # table state (and the second epoch's changelog) in pure SQL
+        "cdc_replay_e2e": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq "
+            "FROM w WHERE rn = 1 AND op <> 'delete'"
+        ),
+        "cdc_changes": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "thr AS (SELECT max(event_seq) // 2 AS t FROM ev), "
+            "w1 AS (SELECT * FROM (SELECT e.*, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn "
+            "FROM ev e, thr WHERE event_seq <= t) WHERE rn = 1), "
+            "w2 AS (SELECT * FROM (SELECT e.*, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn "
+            "FROM ev e, thr WHERE event_seq > t) WHERE rn = 1), "
+            "live1 AS (SELECT repo, path FROM w1 WHERE op <> 'delete') "
+            "SELECT w2.repo, w2.path, w2.lang, w2.content, "
+            "sha256(w2.content) AS content_sha256, w2.cmt AS last_commit, "
+            "w2.event_seq AS last_event_seq, "
+            "CASE WHEN w2.op = 'delete' THEN 'delete' "
+            "WHEN live1.repo IS NOT NULL THEN 'update' ELSE 'insert' END AS change_type "
+            "FROM w2 LEFT JOIN live1 ON live1.repo = w2.repo AND live1.path = w2.path "
+            "WHERE NOT (w2.op = 'delete' AND live1.repo IS NULL)"
+        ),
     }

@@ -9,7 +9,7 @@ change-event replay pipeline —
       → vectorized transforms (sha256 content hashing, lang normalization)
       → (repo, path)-keyed last-writer-wins dedupe (event_seq order)
       → idempotent, epoch-fenced MERGE into a bucketed lake table
-      → per-epoch lineage rows + throughput metrics
+      → per-epoch + per-partition (hash-bucket) lineage rows + metrics
 
 Everything is pyspark.sql DataFrame ops and Arrow-vectorized pandas UDFs;
 no per-row Python, no RDDs.  Designed for a 1000-executor cluster at

@@ -25,10 +25,13 @@ Execution shape (scale rationale inline):
    before the shuffle) → full-outer join with current rows *of touched
    buckets only* → bucket-partitioned write.  The batch join side is
    post-dedupe (one row per key), so the join cannot skew;
-4. MERGE stats (insert/update/delete counts) are written as a physical
-   ``_action`` column and read back by a pruned single-column scan of the
-   new files (DataFrame.observe is unusable here: observed metrics never
-   resolve inside a streaming foreachBatch);
+4. MERGE stats (insert/update/delete counts, per bucket) are written as
+   a physical ``_action`` column and read back by a pruned single-column
+   scan of the new files — driver-side pyarrow below a file-count
+   threshold (~1 bit/row of I/O; no Spark job per epoch), one
+   partition-discovering Spark scan above it (DataFrame.observe is
+   unusable here: observed metrics never resolve inside a streaming
+   foreachBatch);
 5. CAS-commit a snapshot = parent's untouched buckets + new files.
 
 The MERGE is order-insensitive across and within batches: the LWW guard
@@ -80,6 +83,61 @@ class CommitResult:
     event_seq_max: int | None = None
     touched_buckets: int = 0
     wall_ms: int = 0
+    # per-partition (hash-bucket) lineage detail: one dict per touched
+    # bucket with keys bucket / rows_in / rows_upserted / rows_deleted /
+    # event_seq_min / event_seq_max (the north rule's "per-partition
+    # lineage rows: event-range, offsets, row counts")
+    bucket_stats: list[dict] | None = None
+
+
+def _action_counts(
+    spark, out_dir, out_files: dict[int, list[dict]], max_driver_files: int = 512
+) -> dict[int, dict[str, int]]:
+    """Per-bucket MERGE action counts ({bucket: {action: n}}) from the
+    commit's freshly written files.
+
+    ``_action`` is a 5-value dictionary-encoded column, so counting it
+    costs ~1 bit/row of I/O no matter how wide the rows are.  Below
+    ``max_driver_files`` files the count runs driver-side with pyarrow
+    (column-pruned, threaded) — cheaper than scheduling a Spark job per
+    epoch, and the bytes stay bounded by row count, not data size.  Large
+    commits fall back to one column-pruned Spark scan whose partition
+    discovery (``basePath``) recovers the bucket id from the directory
+    layout."""
+    per_bucket: dict[int, dict[str, int]] = {}
+    flat = [
+        (b, str(out_dir.parent.parent / fe["path"]))
+        for b, fl in out_files.items()
+        for fe in fl
+    ]
+    if len(flat) <= max_driver_files:
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(item):
+            b, path = item
+            vc = pq.read_table(path, columns=["_action"])["_action"].value_counts()
+            return b, {str(v["values"]): int(v["counts"]) for v in vc.to_pylist()}
+
+        with ThreadPoolExecutor(max_workers=min(16, max(len(flat), 1))) as ex:
+            for b, counts in ex.map(one, flat):
+                agg = per_bucket.setdefault(b, {})
+                for a, n in counts.items():
+                    agg[a] = agg.get(a, 0) + n
+        return per_bucket
+
+    rows = (
+        spark.read.schema("_action string")
+        .option("basePath", str(out_dir))
+        .parquet(*[p for _, p in flat])
+        .groupBy("_bucket", "_action")
+        .count()
+        .collect()
+    )
+    for r in rows:
+        agg = per_bucket.setdefault(int(r["_bucket"]), {})
+        agg[r["_action"]] = agg.get(r["_action"], 0) + int(r["count"])
+    return per_bucket
 
 
 def merge_batch(
@@ -161,6 +219,7 @@ def _merge_once(
         .collect()
     )
     touched = [r["_bucket"] for r in plan_rows]
+    plan_by_bucket = {r["_bucket"]: (int(r["n"]), r["lo"], r["hi"]) for r in plan_rows}
     rows_in = int(sum(r["n"] for r in plan_rows))
     seq_lo = min((r["lo"] for r in plan_rows), default=None)
     seq_hi = max((r["hi"] for r in plan_rows), default=None)
@@ -173,6 +232,7 @@ def _merge_once(
 
     out_files: dict[int, list[dict]] = {}
     stat_map: dict[str, int] = {}
+    bucket_actions: dict[int, dict[str, int]] = {}
     if touched:
         # tombstones included: a newer delete must outrank a stale upsert
         current = table.read(buckets=touched, include_tombstones=True)
@@ -248,16 +308,24 @@ def _merge_once(
             ]
             out_files[b] = [{"path": p, "sv": schema.version} for p in files]
 
-        all_new = [str(table.path / fe["path"]) for fl in out_files.values() for fe in fl]
-        if all_new:
-            for r in (
-                spark.read.schema("_action string")
-                .parquet(*all_new)
-                .groupBy("_action")
-                .count()
-                .collect()
-            ):
-                stat_map[r["_action"]] = int(r["count"])
+        if out_files:
+            bucket_actions = _action_counts(spark, out_dir, out_files)
+            for counts in bucket_actions.values():
+                for a, n in counts.items():
+                    stat_map[a] = stat_map.get(a, 0) + n
+
+    bucket_stats = [
+        {
+            "bucket": int(b),
+            "rows_in": plan_by_bucket[b][0],
+            "rows_upserted": bucket_actions.get(b, {}).get("insert", 0)
+            + bucket_actions.get(b, {}).get("update", 0),
+            "rows_deleted": bucket_actions.get(b, {}).get("delete", 0),
+            "event_seq_min": plan_by_bucket[b][1],
+            "event_seq_max": plan_by_bucket[b][2],
+        }
+        for b in sorted(touched)
+    ]
 
     # 5. assemble + CAS-commit the snapshot; on CAS loss, REBASE onto the
     # winner's snapshot (carry ITS buckets/fences forward) when our touched
@@ -300,6 +368,7 @@ def _merge_once(
                 event_seq_min=seq_lo,
                 event_seq_max=seq_hi,
                 touched_buckets=len(touched),
+                bucket_stats=bucket_stats,
             )
         # lost the CAS — someone else published base+1
         latest = table.current_snapshot()
@@ -343,7 +412,6 @@ def append_batch(
     our file entries onto whatever the winner published); only the
     exactly-once fence is re-checked."""
     t0 = time.monotonic()
-    spark = table.spark
     snap = table.current_snapshot()
     if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, snap):
         return CommitResult(snap["snapshot_id"], epoch_id, skipped=True)
@@ -370,7 +438,6 @@ def append_batch(
         .parquet(str(out_dir))
     )
     out_files: dict[str, list[dict]] = {}
-    rows_in = 0
     for bdir in sorted(out_dir.glob("_bucket=*")):
         b = bdir.name.split("=")[1]
         out_files[b] = [
@@ -378,9 +445,16 @@ def append_batch(
             for p in sorted(bdir.iterdir())
             if p.name.endswith(".parquet")
         ]
-    all_new = [str(table.path / fe["path"]) for fl in out_files.values() for fe in fl]
-    if all_new:
-        rows_in = spark.read.schema("_action string").parquet(*all_new).count()
+    # row counts come straight from the parquet footers — metadata-only
+    # driver reads (Iceberg gets these from its manifests), no Spark job
+    import pyarrow.parquet as pq
+
+    append_bucket_rows: dict[str, int] = {}
+    for b, fl in out_files.items():
+        append_bucket_rows[b] = sum(
+            pq.read_metadata(str(table.path / fe["path"])).num_rows for fe in fl
+        )
+    rows_in = sum(append_bucket_rows.values())
 
     base = snap
     while True:
@@ -412,6 +486,17 @@ def append_batch(
                 rows_upserted=rows_in,
                 touched_buckets=len(out_files),
                 wall_ms=int((time.monotonic() - t0) * 1000),
+                bucket_stats=[
+                    {
+                        "bucket": int(b),
+                        "rows_in": n,
+                        "rows_upserted": n,
+                        "rows_deleted": 0,
+                        "event_seq_min": None,
+                        "event_seq_max": None,
+                    }
+                    for b, n in sorted(append_bucket_rows.items(), key=lambda kv: int(kv[0]))
+                ],
             )
         latest = table.current_snapshot()
         if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, latest):

@@ -20,7 +20,6 @@ from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import Row
 
 from rocket_etl_spark.functions.hashing import sha256_expr
 from rocket_etl_spark.functions.lang import normalize_lang
@@ -203,30 +202,81 @@ LINEAGE_DDL = (
     "touched_buckets int, wall_ms bigint, skipped boolean"
 )
 
+# per-partition lineage (north rule: "per-partition lineage rows —
+# event-range, offsets, row counts"): one row per touched hash-bucket per
+# epoch, riding the stats the MERGE already computes (planning aggregate
+# + per-bucket action counts) — no extra scan anywhere.
+BUCKET_LINEAGE_DDL = (
+    "epoch_id bigint, snapshot_id bigint, bucket int, rows_in bigint, "
+    "rows_upserted bigint, rows_deleted bigint, "
+    "event_seq_min bigint, event_seq_max bigint"
+)
+
+
+def _ddl_to_arrow(ddl: str):
+    import pyarrow as pa
+
+    m = {"bigint": pa.int64(), "int": pa.int32(), "boolean": pa.bool_(), "string": pa.string()}
+    return pa.schema([(f.split()[0], m[f.split()[1]]) for f in ddl.split(", ")])
+
+
+def _append_rows(dirpath: Path, ddl: str, rows: list[dict]) -> None:
+    """Append tiny metadata rows as one parquet file, driver-side.
+
+    Lineage rows are a handful of dicts per epoch; writing them through a
+    Spark job costs a full scheduling round-trip per epoch for no
+    parallelism.  pyarrow writes a standard parquet file Spark reads with
+    the same explicit schema."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dirpath.mkdir(parents=True, exist_ok=True)
+    t = pa.Table.from_pylist(rows, schema=_ddl_to_arrow(ddl))
+    pq.write_table(t, dirpath / f"part-{uuid.uuid4().hex}.parquet")
+
 
 def append_lineage(spark: SparkSession, table: LakeTable, res: CommitResult) -> None:
-    row = Row(
-        epoch_id=res.epoch_id,
-        snapshot_id=res.snapshot_id,
-        event_seq_min=res.event_seq_min,
-        event_seq_max=res.event_seq_max,
-        rows_in=res.rows_in,
-        rows_upserted=res.rows_upserted,
-        rows_deleted=res.rows_deleted,
-        touched_buckets=res.touched_buckets,
-        wall_ms=res.wall_ms,
-        skipped=res.skipped,
+    _append_rows(
+        Path(table.path) / "lineage",
+        LINEAGE_DDL,
+        [
+            {
+                "epoch_id": res.epoch_id,
+                "snapshot_id": res.snapshot_id,
+                "event_seq_min": res.event_seq_min,
+                "event_seq_max": res.event_seq_max,
+                "rows_in": res.rows_in,
+                "rows_upserted": res.rows_upserted,
+                "rows_deleted": res.rows_deleted,
+                "touched_buckets": res.touched_buckets,
+                "wall_ms": res.wall_ms,
+                "skipped": res.skipped,
+            }
+        ],
     )
-    (
-        spark.createDataFrame([row], LINEAGE_DDL)
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(str(Path(table.path) / "lineage"))
-    )
+    if res.bucket_stats:
+        _append_rows(
+            Path(table.path) / "lineage_buckets",
+            BUCKET_LINEAGE_DDL,
+            [
+                {"epoch_id": res.epoch_id, "snapshot_id": res.snapshot_id, **bs}
+                for bs in res.bucket_stats
+            ],
+        )
 
 
 def read_lineage(spark: SparkSession, table: LakeTable) -> DataFrame:
     return spark.read.schema(LINEAGE_DDL).parquet(str(Path(table.path) / "lineage"))
+
+
+def read_bucket_lineage(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Per-partition (hash-bucket) lineage: one row per touched bucket per
+    epoch with its event-seq range and in/upserted/deleted row counts."""
+    return spark.read.schema(BUCKET_LINEAGE_DDL).parquet(
+        str(Path(table.path) / "lineage_buckets")
+    )
 
 
 # -------------------------------------------------------------- streaming

@@ -37,3 +37,27 @@ def test_sampled_queries_run(spark):
     for name in ["join_inner", "window_lww", "agg_rollup", "dedup_exact", "knn_cosine"]:
         df = qs[name](spark, sf)
         assert df.count() >= 0
+
+
+def test_cdc_e2e_queries_match_duckdb(spark):
+    """The engine-level harness queries (replay → state, replay → changelog)
+    equal their DuckDB oracles at sf0.001 — the same comparison the driver
+    runs at sf0.01."""
+    import duckdb
+    import pandas as pd
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    for name in ("cdc_replay_e2e", "cdc_changes"):
+        got = qs[name](spark, sf).toPandas()
+        exp = con.execute(oracles[name]).df()
+        cols = sorted(got.columns)
+        assert sorted(exp.columns) == cols
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        e = exp[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, e, check_dtype=False)

@@ -117,3 +117,58 @@ def test_stream_crash_replay_is_fenced(spark, tmp_path):
         table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_bucket_lineage_consistency(spark, tmp_path):
+    """Per-partition lineage rows (one per touched bucket per epoch) sum
+    exactly to the epoch-level lineage and nest within its event range."""
+    from rocket_etl_spark.streaming.replay import read_bucket_lineage
+
+    _write_batches(spark, tmp_path / "events", n_batches=3, per_batch=1_000, seed=9)
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=8)
+    replay_stream(
+        spark, table, tmp_path / "events", tmp_path / "ckpt", max_files_per_trigger=1
+    )
+    lin = read_lineage(spark, table).toPandas()
+    bl = read_bucket_lineage(spark, table).toPandas()
+
+    cols = ["rows_in", "rows_upserted", "rows_deleted"]
+    agg = bl.groupby("epoch_id")[cols].sum().sort_index()
+    per_epoch = lin.set_index("epoch_id")[cols].sort_index()
+    pd.testing.assert_frame_equal(agg, per_epoch, check_dtype=False)
+
+    assert bl["bucket"].between(0, 7).all()
+    tb = lin.set_index("epoch_id")["touched_buckets"].sort_index()
+    n_buckets = (
+        bl.groupby("epoch_id")["bucket"].nunique().reindex(tb.index, fill_value=0)
+    )
+    assert (n_buckets == tb).all()
+
+    joined = bl.merge(lin, on="epoch_id", suffixes=("_b", ""))
+    assert (joined["event_seq_min_b"] >= joined["event_seq_min"]).all()
+    assert (joined["event_seq_max_b"] <= joined["event_seq_max"]).all()
+
+
+def test_action_counts_spark_fallback_matches_pyarrow(spark, tmp_path):
+    """The large-commit Spark path of the per-bucket action counter agrees
+    with the default driver-side pyarrow path (which fed bucket_stats)."""
+    from rocket_etl_spark.generate import change_events
+    from rocket_etl_spark.lake.merge import _action_counts
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    ev = change_events(spark, 3_000, seed=7, delete_frac=0.1)
+    res = replay_batch(table, ev, epoch_id=0)
+
+    snap = table.current_snapshot()
+    added = {int(b): fl for b, fl in snap["added_files"].items()}
+    first = next(iter(added.values()))[0]["path"]  # data/commit-X/_bucket=N/f
+    out_dir = table.path / "/".join(first.split("/")[:2])
+    via_spark = _action_counts(spark, out_dir, added, max_driver_files=0)
+
+    by_bucket = {bs["bucket"]: bs for bs in res.bucket_stats}
+    assert set(via_spark) == set(by_bucket)
+    for b, counts in via_spark.items():
+        up = counts.get("insert", 0) + counts.get("update", 0)
+        assert up == by_bucket[b]["rows_upserted"]
+        assert counts.get("delete", 0) == by_bucket[b]["rows_deleted"]
