@@ -20,10 +20,13 @@ Execution shape (scale rationale inline):
    once, by step 3: no persist/cache, no restage, minimal GC pressure;
 2. input stats (rows_in, seq min/max) ride the SAME planning pass (one
    aggregation over keys+order, ≤ num_buckets rows to the driver);
-3. one pipeline: scan → vectorized transform → LWW dedupe by key via
-   ``max_by`` aggregation (map-side partial combine → hot keys reduce
-   before the shuffle) → full-outer join with current rows *of touched
-   buckets only* → bucket-partitioned write.  The batch join side is
+3. one pipeline: scan → vectorized transform → LWW dedupe by key →
+   full-outer join with current rows *of touched buckets only* →
+   bucket-partitioned write.  The dedupe form is chosen from the planning
+   pass's key-cardinality estimate: broadcast winner-set (slim — losing
+   rows' payload never shuffles) when the keys fit a broadcast and
+   duplicates exist, else ``max_by`` aggregation (map-side partial
+   combine → hot keys reduce before the shuffle).  The batch join side is
    post-dedupe (one row per key), so the join cannot skew;
 4. MERGE stats (insert/update/delete counts, per bucket) are written as
    a physical ``_action`` column and read back by a pruned single-column
@@ -61,8 +64,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from rocket_etl_spark.lake.table import LakeTable, bucket_of, fence_add
-from rocket_etl_spark.operators.lww import lww_dedupe
+from rocket_etl_spark.operators.lww import lww_dedupe, lww_dedupe_slim
 from rocket_etl_spark.schema.registry import TableSchema
+
+# auto-selection bounds for the slim (broadcast winner-set) LWW dedupe:
+# winner sets above MAX_KEYS don't fit a comfortable broadcast (~tens of
+# MB / a few hundred MB of hash relation), and below MIN_RATIO duplicate
+# rows are too few for the second pass to pay for itself.
+SLIM_DEDUPE_MAX_KEYS = 2_000_000
+SLIM_DEDUPE_MIN_RATIO = 1.5
 
 
 class CommitConflict(Exception):
@@ -215,6 +225,10 @@ def _merge_once(
             F.count(F.lit(1)).alias("n"),
             F.min(order_col).alias("lo"),
             F.max(order_col).alias("hi"),
+            # HLL key-cardinality estimate, used to pick the dedupe
+            # strategy; buckets partition the key space, so the per-bucket
+            # sum is the batch total
+            F.approx_count_distinct(F.struct(*[F.col(k) for k in keys])).alias("dk"),
         )
         .collect()
     )
@@ -223,8 +237,19 @@ def _merge_once(
     rows_in = int(sum(r["n"] for r in plan_rows))
     seq_lo = min((r["lo"] for r in plan_rows), default=None)
     seq_hi = max((r["hi"] for r in plan_rows), default=None)
+    distinct_keys = int(sum(r["dk"] for r in plan_rows))
 
-    deduped = lww_dedupe(batch, keys=keys, order_col=order_col)
+    # dedupe strategy: when the winner set fits a broadcast AND the batch
+    # actually has duplicates to drop, the slim form keeps every losing
+    # row's payload bytes out of the shuffle (dramatic for hot-key
+    # batches); otherwise the plain one-shuffle max_by agg.
+    if (
+        0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS
+        and rows_in >= SLIM_DEDUPE_MIN_RATIO * distinct_keys
+    ):
+        deduped = lww_dedupe_slim(batch, keys=keys, order_col=order_col)
+    else:
+        deduped = lww_dedupe(batch, keys=keys, order_col=order_col)
     # derived columns join the row AFTER the dedupe: winners only, and the
     # dedupe shuffle never carries their bytes
     for c, expr in derived_cols.items():
