@@ -72,30 +72,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # ---- CDC replay: the engine's headline number --------------------------
-    n_events = max(int(20_000_000 * sf), 100_000)
-    ev = change_events(spark, n_events, n_repos=500, paths_per_repo=2000, delete_frac=0.05)
-    # stage input to parquet so the measured replay reads real files; RAM-backed
-    # when available so the number reflects the engine, not /tmp's disk
-    stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    in_dir = tempfile.mkdtemp(prefix="bench-events-", dir=stage_root)
-    lake_dir = tempfile.mkdtemp(prefix="bench-lake-", dir=stage_root)
-    ev.write.mode("overwrite").parquet(in_dir)
-    events = spark.read.parquet(in_dir)
-    table = create_repo_files_table(spark, lake_dir + "/t", num_buckets=2 * cpus)
-    t0 = time.monotonic()
-    replay_batch(table, events, epoch_id=0)
-    replay_sec = time.monotonic() - t0
-    timings["cdc_replay"] = round(replay_sec, 3)
-
-    # second epoch: incremental merge into the now-populated table
-    ev2 = change_events(
-        spark, n_events // 4, seed=43, n_repos=500, paths_per_repo=2000, delete_frac=0.05
-    )
-    t0 = time.monotonic()
-    replay_batch(table, ev2, epoch_id=1)
-    timings["cdc_replay_incremental"] = round(time.monotonic() - t0, 3)
-
     # ---- headline operator queries -----------------------------------------
     qs = entry_mod.queries()
     # perf measures the PRODUCTION hash path (xxhash64); the harness's
@@ -108,11 +84,52 @@ def main() -> None:
             s.read.parquet(f"{d}/documents.parquet"), threshold=0.4, hash_fn="xxhash64"
         ),
     }
+    # warm-up: the first plan otherwise absorbs session/codegen startup
+    _force(qs["join_inner"](spark, sf_dir))
     for name in HEADLINE:
         fn = overrides.get(name, qs[name])
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # ---- CDC replay: the engine's headline number --------------------------
+    # median of 3 trials (fresh table each): this VM shows 2x+ tenancy
+    # swings between identical runs (BENCH/BASELINE.md), so a single draw
+    # is a lottery ticket, not a measurement
+    n_events = max(int(20_000_000 * sf), 100_000)
+    ev = change_events(spark, n_events, n_repos=500, paths_per_repo=2000, delete_frac=0.05)
+    # stage input to parquet so the measured replay reads real files; RAM-backed
+    # when available so the number reflects the engine, not /tmp's disk
+    stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    in_dir = tempfile.mkdtemp(prefix="bench-events-", dir=stage_root)
+    lake_dir = tempfile.mkdtemp(prefix="bench-lake-", dir=stage_root)
+    ev.write.mode("overwrite").parquet(in_dir)
+    events = spark.read.parquet(in_dir)
+    ev2 = change_events(
+        spark, n_events // 4, seed=43, n_repos=500, paths_per_repo=2000, delete_frac=0.05
+    )
+    # warm-up: one small replay into a throwaway table first — the first
+    # replay otherwise pays whole-stage-codegen JIT + cold page cache and
+    # skews the trial set (observed: first trial 2-5x the later ones)
+    warm = create_repo_files_table(spark, f"{lake_dir}/warm", num_buckets=2 * cpus)
+    replay_batch(warm, ev2, epoch_id=0)
+
+    replay_trials: list[float] = []
+    incr_trials: list[float] = []
+    for trial in range(3):
+        table = create_repo_files_table(
+            spark, f"{lake_dir}/t{trial}", num_buckets=2 * cpus
+        )
+        t0 = time.monotonic()
+        replay_batch(table, events, epoch_id=0)
+        replay_trials.append(time.monotonic() - t0)
+        # incremental epoch: merge into the now-populated table
+        t0 = time.monotonic()
+        replay_batch(table, ev2, epoch_id=1)
+        incr_trials.append(time.monotonic() - t0)
+    replay_sec = sorted(replay_trials)[1]
+    timings["cdc_replay"] = round(replay_sec, 3)
+    timings["cdc_replay_incremental"] = round(sorted(incr_trials)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -127,6 +144,8 @@ def main() -> None:
                     "replay_events": n_events,
                     "replay_events_per_sec": round(n_events / replay_sec),
                     "cores": cpus,
+                    "replay_trials_sec": [round(t, 3) for t in replay_trials],
+                    "incremental_trials_sec": [round(t, 3) for t in incr_trials],
                 },
             }
         )
