@@ -20,14 +20,17 @@ Execution shape (scale rationale inline):
    once, by step 3: no persist/cache, no restage, minimal GC pressure;
 2. input stats (rows_in, seq min/max) ride the SAME planning pass (one
    aggregation over keys+order, ≤ num_buckets rows to the driver);
-3. one pipeline: scan → vectorized transform → LWW dedupe by key →
-   full-outer join with current rows *of touched buckets only* →
-   bucket-partitioned write.  The dedupe form is chosen from the planning
-   pass's key-cardinality estimate: broadcast winner-set (slim — losing
-   rows' payload never shuffles) when the keys fit a broadcast and
-   duplicates exist, else ``max_by`` aggregation (map-side partial
-   combine → hot keys reduce before the shuffle).  The batch join side is
-   post-dedupe (one row per key), so the join cannot skew;
+3. one pipeline, two physical strategies chosen from the planning pass's
+   key-cardinality estimate: the **broadcast MERGE** (``_merge_broadcast``,
+   when the batch key set fits a broadcast) fuses LWW dedupe and MERGE
+   into a slim winner aggregation + slim action join + two map-side
+   broadcast joins, so the ONLY payload bytes that ever shuffle are the
+   changed rows' final bucket placement — current-table rows stream from
+   their scan tasks straight back to parquet; the **SMJ MERGE**
+   (``_merge_smj``, unbounded key sets) is the classic ``max_by`` dedupe
+   (map-side partial combine → hot keys reduce before the shuffle)
+   feeding a full-outer sort-merge join.  Either way the batch join side
+   is one row per key, so the join cannot skew;
 4. MERGE stats (insert/update/delete counts, per bucket) are written as
    a physical ``_action`` column and read back by a pruned single-column
    scan of the new files — driver-side pyarrow below a file-count
@@ -64,19 +67,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from rocket_etl_spark.lake.table import LakeTable, bucket_of, fence_add
-from rocket_etl_spark.operators.lww import lww_dedupe, lww_dedupe_slim
+from rocket_etl_spark.operators.lww import lww_dedupe
 from rocket_etl_spark.schema.registry import TableSchema
 
-# auto-selection bounds for the slim (broadcast winner-set) LWW dedupe:
-# winner sets above MAX_KEYS don't fit a comfortable broadcast (~tens of
-# MB / a few hundred MB of hash relation).  MIN_RATIO=1.0 means "use slim
-# whenever the keys fit": interleaved A/B on the incremental MERGE showed
-# slim 3-5x faster even at dedupe ratio 1.09 — keeping KB-wide payloads
-# out of aggregation buffers wins even when there is almost nothing to
-# dedupe, because the wide max_by's per-row struct copying and its
-# sort/spill pressure dwarf the slim pass's extra key-column scan.
+# gate for the broadcast (fused slim-dedupe + MERGE) path: batch key sets
+# above this don't fit a comfortable broadcast (~tens of MB / a few
+# hundred MB of hash relation).  No minimum-duplicate-ratio gate:
+# interleaved A/B showed the broadcast path 3-5x faster even at dedupe
+# ratio 1.09, because keeping KB-wide payloads out of aggregation buffers
+# and exchanges dwarfs the extra key-column pass.
 SLIM_DEDUPE_MAX_KEYS = 2_000_000
-SLIM_DEDUPE_MIN_RATIO = 1.0
 
 
 class CommitConflict(Exception):
@@ -152,6 +152,175 @@ def _action_counts(
         agg = per_bucket.setdefault(int(r["_bucket"]), {})
         agg[r["_action"]] = agg.get(r["_action"], 0) + int(r["count"])
     return per_bucket
+
+
+def _merge_smj(
+    deduped: DataFrame, current: DataFrame, keys, order_col: str, vals, nb: int
+) -> DataFrame:
+    """Full-outer sort-merge MERGE — the unbounded-batch path (batch key
+    set too large to broadcast).  Both sides shuffle by key; the LWW order
+    rides the struct under a dedicated _ord field so it works whether
+    order_col is a value column or one of the keys."""
+    t_side = current.select(
+        *keys,
+        F.struct(
+            *[F.col(c) for c in vals],
+            F.col(order_col).alias("_ord"),
+            F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
+        ).alias("_t"),
+    )
+    s_side = deduped.select(
+        *keys,
+        F.struct(
+            *[F.col(c) for c in vals],
+            F.col(order_col).alias("_ord"),
+            (F.col("op") == "delete").alias("_deleted"),
+        ).alias("_s"),
+    )
+    joined = t_side.join(s_side, on=list(keys), how="full_outer")
+
+    s_seq = F.col("_s._ord")
+    t_seq = F.col("_t._ord")
+    s_del = F.col("_s._deleted")
+    t_del = F.col("_t._deleted")
+    s_wins = F.col("_s").isNotNull() & (F.col("_t").isNull() | (s_seq > t_seq))
+    action = (
+        F.when(~s_wins, F.lit("keep"))
+        .when(s_del & (F.col("_t").isNull() | t_del), F.lit("tombstone"))
+        .when(s_del, F.lit("delete"))
+        .when(F.col("_t").isNull() | t_del, F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.withColumn("_action", action)
+        .withColumn("_w", F.when(s_wins, F.col("_s")).otherwise(F.col("_t")))
+        .select(
+            *keys,
+            *[F.col(f"_w.{c}").alias(c) for c in vals],
+            F.col("_w._deleted").alias("_deleted"),
+            "_action",
+        )
+        .withColumn("_bucket", bucket_of(keys, nb))
+    )
+
+
+def _merge_broadcast(
+    batch: DataFrame,
+    current: DataFrame,
+    keys,
+    order_col: str,
+    vals,
+    nb: int,
+    derived_cols: dict,
+) -> list[tuple[DataFrame, bool]]:
+    """Broadcast MERGE — neither losing batch rows nor the table's wide
+    rows ever shuffle; LWW dedupe and MERGE fuse into one decision.
+
+    The full-outer SMJ MERGE moves every current row's payload through an
+    exchange + sort just to decide, per key, "batch wins or table wins".
+    When the batch key set fits a broadcast that decision needs only slim
+    columns:
+
+    1. winner agg: ``batch.groupBy(keys).agg(max(ord), max_by(is_delete,
+       ord))`` — one shuffle of key/order/op bytes only, payload untouched
+       (this IS the LWW dedupe decision, fused with the MERGE's);
+    2. action join: winners LEFT JOIN current (keys, ord, deleted) — a
+       sort-merge join of SLIM rows, the current side a column-pruned
+       scan (key + order + tombstone flag, no payload decode);
+    3. ``win`` = the batch keys that beat the table, with winning order
+       and MERGE action — bounded by the batch key set, broadcastable;
+    4. changed rows: batch ⋈ broadcast(win) on (keys, ord = winning ord)
+       map-side picks exactly the winner rows in ONE wide pass over the
+       batch (a thin max_by guard collapses duplicate deliveries of the
+       winning (key, ord) pair), then one bucket-partitioned shuffle of
+       ONLY changed rows for tight files;
+    5. keep rows: current LEFT ANTI broadcast(win) — a map-side filter:
+       each scan task streams its bucket's survivors straight back to
+       parquet, payload untouched by any exchange.
+
+    Same (row, _action, _deleted) output as lww_dedupe + ``_merge_smj`` —
+    equivalence pytest-checked on random multi-epoch replays.  Null-safe
+    equality throughout: a null key is a group, exactly as the full-outer
+    join treats it.  Derived columns are computed on winner rows only,
+    after step 4.  Returns [(changed, tight_files=True), (keeps, False)].
+
+    Tradeoff vs the SMJ path: keep-rows avoid the exchange at the cost of
+    file granularity — each scan task writes one file per bucket it
+    holds, so a bucket can gain a few files per epoch instead of exactly
+    one (scan tasks pack CONTIGUOUS bucket files, so the total stays
+    ~tasks + buckets, not tasks × buckets).  Compaction
+    (lake/maintenance.py, ``compact_every`` in replay_stream) re-tightens
+    them; at cluster scale the avoided table-payload exchange dominates —
+    this split is exactly why Iceberg/Delta MERGE rewrites only matched
+    files instead of shuffling the table.
+    """
+    winners = batch.groupBy(*keys).agg(
+        F.max(order_col).alias("_s_ord"),
+        F.max_by(F.col("op") == "delete", F.col(order_col)).alias("_s_del"),
+    )
+    t_slim = current.select(
+        *keys,
+        F.col(order_col).alias("_t_ord"),
+        F.coalesce(F.col("_deleted"), F.lit(False)).alias("_t_del"),
+        F.lit(True).alias("_t_present"),  # null after the outer join = no t row
+    )
+    for k in keys:
+        t_slim = t_slim.withColumnRenamed(k, f"_t_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_t_{k}"))
+        cond = c if cond is None else cond & c
+    act = winners.join(t_slim, cond, "left_outer")
+
+    no_t = F.col("_t_present").isNull()
+    s_wins = no_t | (F.col("_s_ord") > F.col("_t_ord"))
+    action = (
+        F.when(F.col("_s_del") & (no_t | F.col("_t_del")), F.lit("tombstone"))
+        .when(F.col("_s_del"), F.lit("delete"))
+        .when(no_t | F.col("_t_del"), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    win = act.filter(s_wins).select(
+        *[F.col(k).alias(f"_w_{k}") for k in keys],
+        F.col("_s_ord").alias("_w_ord"),
+        action.alias("_action"),
+    )
+
+    cond_s = F.col(order_col).eqNullSafe(F.col("_w_ord"))
+    for k in keys:
+        cond_s = cond_s & F.col(k).eqNullSafe(F.col(f"_w_{k}"))
+    from rocket_etl_spark.operators.lww import lww_dedupe
+
+    picked = batch.join(F.broadcast(win), cond_s, "inner").drop(
+        *[f"_w_{k}" for k in keys], "_w_ord"
+    )
+    # duplicate deliveries of the winning (key, ord) pair: thin guard agg
+    # over winner rows only (~one row per key reaches it)
+    changed = lww_dedupe(picked, keys=keys, order_col=order_col)
+    for c, expr in derived_cols.items():
+        changed = changed.withColumn(c, expr)
+    changed = changed.select(
+        *keys,
+        *[F.col(c) for c in vals],
+        (F.col("op") == "delete").alias("_deleted"),
+        "_action",
+    ).withColumn("_bucket", bucket_of(keys, nb))
+
+    cond_k = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_w_{k}"))
+        cond_k = c if cond_k is None else cond_k & c
+    keeps = (
+        current.join(F.broadcast(win.select(*[f"_w_{k}" for k in keys])), cond_k, "left_anti")
+        .select(
+            *keys,
+            *[F.col(c) for c in vals],
+            F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
+            F.lit("keep").alias("_action"),
+        )
+        .withColumn("_bucket", bucket_of(keys, nb))
+    )
+    return [(changed, True), (keeps, False)]
 
 
 def merge_batch(
@@ -243,22 +412,6 @@ def _merge_once(
     seq_hi = max((r["hi"] for r in plan_rows), default=None)
     distinct_keys = int(sum(r["dk"] for r in plan_rows))
 
-    # dedupe strategy: when the winner set fits a broadcast AND the batch
-    # actually has duplicates to drop, the slim form keeps every losing
-    # row's payload bytes out of the shuffle (dramatic for hot-key
-    # batches); otherwise the plain one-shuffle max_by agg.
-    if (
-        0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS
-        and rows_in >= SLIM_DEDUPE_MIN_RATIO * distinct_keys
-    ):
-        deduped = lww_dedupe_slim(batch, keys=keys, order_col=order_col)
-    else:
-        deduped = lww_dedupe(batch, keys=keys, order_col=order_col)
-    # derived columns join the row AFTER the dedupe: winners only, and the
-    # dedupe shuffle never carries their bytes
-    for c, expr in derived_cols.items():
-        deduped = deduped.withColumn(c, expr)
-
     out_files: dict[int, list[dict]] = {}
     stat_map: dict[str, int] = {}
     bucket_actions: dict[int, dict[str, int]] = {}
@@ -272,62 +425,37 @@ def _merge_once(
             current = project_to(current, cur_schema, schema, passthrough=("_deleted",))
 
         vals = [c for c in schema.names() if c not in keys]
-        # the LWW order rides the struct under a dedicated _ord field so it
-        # works whether order_col is a value column or one of the keys
-        t_side = current.select(
-            *keys,
-            F.struct(
-                *[F.col(c) for c in vals],
-                F.col(order_col).alias("_ord"),
-                F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
-            ).alias("_t"),
-        )
-        s_side = deduped.select(
-            *keys,
-            F.struct(
-                *[F.col(c) for c in vals],
-                F.col(order_col).alias("_ord"),
-                (F.col("op") == "delete").alias("_deleted"),
-            ).alias("_s"),
-        )
-        joined = t_side.join(s_side, on=list(keys), how="full_outer")
-
-        s_seq = F.col("_s._ord")
-        t_seq = F.col("_t._ord")
-        s_del = F.col("_s._deleted")
-        t_del = F.col("_t._deleted")
-        s_wins = F.col("_s").isNotNull() & (F.col("_t").isNull() | (s_seq > t_seq))
-        action = (
-            F.when(~s_wins, F.lit("keep"))
-            .when(s_del & (F.col("_t").isNull() | t_del), F.lit("tombstone"))
-            .when(s_del, F.lit("delete"))
-            .when(F.col("_t").isNull() | t_del, F.lit("insert"))
-            .otherwise(F.lit("update"))
-        )
         # _action is written into the data files (tiny, dictionary-encoded)
         # and read back by a pruned single-column scan for the MERGE stats —
         # explicit-schema reads make it invisible to table queries, exactly
         # like the _deleted tombstone flag.
-        merged = (
-            joined.withColumn("_action", action)
-            .withColumn("_w", F.when(s_wins, F.col("_s")).otherwise(F.col("_t")))
-            .select(
-                *keys,
-                *[F.col(f"_w.{c}").alias(c) for c in vals],
-                F.col("_w._deleted").alias("_deleted"),
-                "_action",
+        if 0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS:
+            # fused dedupe+MERGE: no payload ever shuffles except the
+            # changed rows' final bucket placement
+            outputs = _merge_broadcast(
+                batch, current, keys, order_col, vals, nb, derived_cols
             )
-            .withColumn("_bucket", bucket_of(keys, nb))
-        )
+        else:
+            # key set exceeds the broadcast bound → slim forms unavailable;
+            # plain one-shuffle max_by dedupe feeding the full-outer SMJ
+            # (map-side combine keeps hot keys skew-safe), derived columns
+            # computed on winners only
+            deduped = lww_dedupe(batch, keys=keys, order_col=order_col)
+            for c, expr in derived_cols.items():
+                deduped = deduped.withColumn(c, expr)
+            outputs = [(_merge_smj(deduped, current, keys, order_col, vals, nb), True)]
 
         out_dir_rel = f"data/commit-{commit_tag}"
         out_dir = table.path / out_dir_rel
-        # one shuffle partition per touched bucket keeps file counts tight
-        (
-            merged.repartition(max(len(touched), 1), "_bucket")
-            .write.partitionBy("_bucket")
-            .parquet(str(out_dir))
-        )
+        for i, (part, tight) in enumerate(outputs):
+            writer = (
+                # one shuffle partition per touched bucket keeps file counts
+                # tight for the changed-rows side; the keep side is written
+                # straight out of its (bucket-contiguous) scan partitions —
+                # repartitioning it would put the payload back on the wire
+                part.repartition(max(len(touched), 1), "_bucket") if tight else part
+            ).write.partitionBy("_bucket")
+            (writer if i == 0 else writer.mode("append")).parquet(str(out_dir))
         for bdir in sorted(out_dir.glob("_bucket=*")):
             b = int(bdir.name.split("=")[1])
             files = [

@@ -1,0 +1,91 @@
+"""Broadcast MERGE ≡ full-outer SMJ MERGE, on state, stats, and changelog.
+
+The broadcast path (lake/merge.py::_merge_broadcast) keeps the current
+table's payload out of every exchange; this suite pins its equivalence
+to the unbounded SMJ path across multi-epoch, out-of-order, delete-heavy
+replays, with the sequential oracle as ground truth.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import rocket_etl_spark.lake.merge as M
+from rocket_etl_spark.generate import change_events
+from rocket_etl_spark.oracle import replay_oracle
+from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_batch
+
+
+def _run(spark, path, batches, max_keys):
+    old = M.SLIM_DEDUPE_MAX_KEYS
+    M.SLIM_DEDUPE_MAX_KEYS = max_keys
+    try:
+        t = create_repo_files_table(spark, path, num_buckets=4)
+        results = [replay_batch(t, b, epoch_id=i) for i, b in enumerate(batches)]
+        state = (
+            t.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        return t, results, state
+    finally:
+        M.SLIM_DEDUPE_MAX_KEYS = old
+
+
+def test_broadcast_and_smj_merge_agree(spark, tmp_path):
+    ev = change_events(spark, 6_000, seed=17, delete_frac=0.15, shuffle_bound=400)
+    # three epochs, delivered out of event order within each
+    batches = [
+        ev.filter((ev.event_seq % 3) == i).drop("delivery_order") for i in (1, 0, 2)
+    ]
+
+    t_b, r_b, s_b = _run(spark, tmp_path / "bcast", batches, 2_000_000)
+    t_s, r_s, s_s = _run(spark, tmp_path / "smj", batches, 0)
+
+    # identical final state — and both equal the sequential oracle
+    pd.testing.assert_frame_equal(s_b, s_s, check_dtype=False)
+    ora = replay_oracle([ev.toPandas()])
+    pd.testing.assert_frame_equal(s_b[ora.columns], ora, check_dtype=False)
+
+    # identical per-epoch MERGE stats
+    for a, b in zip(r_b, r_s):
+        assert (a.rows_in, a.rows_upserted, a.rows_deleted) == (
+            b.rows_in,
+            b.rows_upserted,
+            b.rows_deleted,
+        )
+        assert a.touched_buckets == b.touched_buckets
+
+    # identical changelog (CDC-out) across the whole replay
+    cols = None
+    ch_b = t_b.changes(0).toPandas()
+    ch_s = t_s.changes(0).toPandas()
+    cols = sorted(ch_b.columns)
+    pd.testing.assert_frame_equal(
+        ch_b[cols].sort_values(cols).reset_index(drop=True),
+        ch_s[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_broadcast_merge_null_keys_match_smj(spark, tmp_path):
+    """Null keys are groups, not dropped rows — on BOTH paths."""
+    rows = [
+        (0, "u", "r1", "a", "c0", "py", "x0"),
+        (1, "u", None, "a", "c1", "py", "x1"),
+        (2, "u", None, "a", "c2", "py", "x2"),   # newer null-key row wins
+        (3, "u", "r1", None, "c3", "py", "x3"),
+        (4, "d", "r1", "a", "c4", "py", "x4"),   # delete live row
+        (5, "u", "r2", "b", "c5", "py", "x5"),
+    ]
+    df = spark.createDataFrame(
+        [(s, "delete" if o == "d" else "upsert", r, p, c, lg, ct)
+         for (s, o, r, p, c, lg, ct) in rows],
+        "event_seq long, op string, repo string, path string, "
+        "commit string, lang string, content string",
+    ).withColumn("event_ts", (56789 + __import__("pyspark.sql.functions", fromlist=["col"]).col("event_seq")).cast("timestamp"))
+
+    t_b, _, s_b = _run(spark, tmp_path / "b", [df], 2_000_000)
+    t_s, _, s_s = _run(spark, tmp_path / "s", [df], 0)
+    pd.testing.assert_frame_equal(s_b, s_s, check_dtype=False)
+    # the null-key rows survived, newest wins; the r1/a delete applied
+    assert len(s_b) == 3
+    assert set(s_b["last_event_seq"]) == {2, 3, 5}
