@@ -30,8 +30,12 @@ def _run(spark, path, batches, max_keys):
         M.SLIM_DEDUPE_MAX_KEYS = old
 
 
-def test_broadcast_and_smj_merge_agree(spark, tmp_path):
-    ev = change_events(spark, 6_000, seed=17, delete_frac=0.15, shuffle_bound=400)
+import pytest
+
+
+@pytest.mark.parametrize("seed", [17, 71])
+def test_broadcast_and_smj_merge_agree(spark, tmp_path, seed):
+    ev = change_events(spark, 6_000, seed=seed, delete_frac=0.15, shuffle_bound=400)
     # three epochs, delivered out of event order within each
     batches = [
         ev.filter((ev.event_seq % 3) == i).drop("delivery_order") for i in (1, 0, 2)
