@@ -21,18 +21,47 @@ import pyspark.sql.functions as F
 from rocket_etl_spark.lake.table import LakeTable
 
 
-def compact(table: LakeTable, tombstone_watermark: int | None = None) -> dict:
-    """Rewrite every bucket to a single file; drop droppable tombstones.
+def compact(
+    table: LakeTable,
+    tombstone_watermark: int | None = None,
+    min_files: int = 2,
+    buckets: list[int] | None = None,
+) -> dict:
+    """Rewrite fragmented buckets to one file each; drop droppable
+    tombstones.
+
+    SELECTIVE by default: only buckets holding >= ``min_files`` data files
+    are rewritten (Iceberg's binpack rewrite_data_files shape), so
+    compaction cost scales with fragmentation, not table size — the
+    property that keeps a 100 TB table maintainable when the broadcast
+    MERGE's keep path adds a few files per touched bucket per epoch.
+    A tombstone purge (``tombstone_watermark`` given) rewrites every
+    populated bucket, since any single file may hold droppable
+    tombstones.  Explicit ``buckets`` overrides both selections.
 
     Returns {'snapshot_id', 'files_before', 'files_after',
-    'tombstones_dropped'}.  Partition-parallel: each bucket's rewrite is
-    one task (repartition by the bucket column), no driver data path.
+    'tombstones_dropped', 'buckets_rewritten'}.  Partition-parallel: each
+    bucket's rewrite is one task (repartition by the bucket column), no
+    driver data path.
     """
     snap = table.current_snapshot()
-    nb = int(snap["num_buckets"])
     files_before = sum(len(v) for v in snap["buckets"].values())
+    if buckets is not None:
+        cand = sorted(int(b) for b in buckets)
+    elif tombstone_watermark is not None:
+        cand = sorted(int(b) for b, fl in snap["buckets"].items() if fl)
+    else:
+        cand = sorted(int(b) for b, fl in snap["buckets"].items() if len(fl) >= min_files)
+    if not cand:
+        return {
+            "snapshot_id": snap["snapshot_id"],
+            "files_before": files_before,
+            "files_after": files_before,
+            "tombstones_dropped": 0,
+            "buckets_rewritten": 0,
+        }
 
-    df = table.read(include_tombstones=True)
+    df = table.read(buckets=cand, include_tombstones=True)
     order_col = snap["order_col"]
     if tombstone_watermark is not None:
         keep = ~F.coalesce(F.col("_deleted"), F.lit(False)) | (
@@ -48,11 +77,17 @@ def compact(table: LakeTable, tombstone_watermark: int | None = None) -> dict:
     out_dir = table.path / out_dir_rel
     (
         df.withColumn("_bucket", table.bucket_expr())
-        .repartition(nb, "_bucket")
+        .repartition(max(len(cand), 1), "_bucket")
         .write.partitionBy("_bucket")
         .parquet(str(out_dir))
     )
-    new_buckets: dict[str, list] = {}
+    # untouched buckets keep their existing file lists; rewritten ones get
+    # the new single file (or [] when a purge emptied the bucket)
+    new_buckets: dict[str, list] = {
+        b: list(fl) for b, fl in snap["buckets"].items() if int(b) not in set(cand)
+    }
+    for b in cand:
+        new_buckets[str(b)] = []
     sv = snap["current_schema_version"]
     for bdir in sorted(out_dir.glob("_bucket=*")):
         b = bdir.name.split("=")[1]
@@ -77,6 +112,39 @@ def compact(table: LakeTable, tombstone_watermark: int | None = None) -> dict:
         "files_before": files_before,
         "files_after": sum(len(v) for v in new_buckets.values()),
         "tombstones_dropped": int(dropped),
+        "buckets_rewritten": len(cand),
+    }
+
+
+def table_stats(table: LakeTable) -> dict:
+    """Operational summary from metadata alone — snapshot JSON + parquet
+    footers, no Spark job, no data pages read (Iceberg reads the same
+    numbers from its manifests).  ``total_rows`` includes tombstone rows;
+    ``fragmented_buckets`` is what the default selective ``compact``
+    would rewrite."""
+    import pyarrow.parquet as pq
+
+    snap = table.current_snapshot()
+    files = 0
+    rows = 0
+    max_files = 0
+    fragmented = 0
+    for fl in snap["buckets"].values():
+        files += len(fl)
+        max_files = max(max_files, len(fl))
+        if len(fl) >= 2:
+            fragmented += 1
+        for fe in fl:
+            rows += pq.read_metadata(str(table.path / fe["path"])).num_rows
+    return {
+        "snapshot_id": snap["snapshot_id"],
+        "num_buckets": int(snap["num_buckets"]),
+        "schema_version": snap["current_schema_version"],
+        "populated_buckets": sum(1 for fl in snap["buckets"].values() if fl),
+        "total_files": files,
+        "total_rows": rows,
+        "max_files_per_bucket": max_files,
+        "fragmented_buckets": fragmented,
     }
 
 
