@@ -40,6 +40,8 @@ def main() -> None:
                          "enables tombstone GC during --compact-every")
     ap.add_argument("--app-id", default=None,
                     help="exactly-once fence scope (default: derived from checkpoint)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print metadata-only table stats after the run")
     args = ap.parse_args()
 
     spark = build_session(app_name="cdc-replay")
@@ -68,6 +70,10 @@ def main() -> None:
         )
     if results:
         read_lineage(spark, table).orderBy("epoch_id").show(truncate=False)
+    if args.stats:
+        from rocket_etl_spark.lake.maintenance import table_stats
+
+        print(table_stats(table))
     spark.stop()
 
 

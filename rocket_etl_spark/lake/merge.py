@@ -75,8 +75,12 @@ from rocket_etl_spark.schema.registry import TableSchema
 # hundred MB of hash relation).  No minimum-duplicate-ratio gate:
 # interleaved A/B showed the broadcast path 3-5x faster even at dedupe
 # ratio 1.09, because keeping KB-wide payloads out of aggregation buffers
-# and exchanges dwarfs the extra key-column pass.
-SLIM_DEDUPE_MAX_KEYS = 2_000_000
+# and exchanges dwarfs the extra key-column pass.  Overridable for
+# clusters whose executors can hold bigger hash relations (epochs with
+# tens of millions of distinct keys).
+import os as _os
+
+SLIM_DEDUPE_MAX_KEYS = int(_os.environ.get("SPARK_GRAFT_SLIM_MAX_KEYS", 2_000_000))
 
 
 class CommitConflict(Exception):
