@@ -35,12 +35,16 @@ def event_log(draw):
                 "content": f"content-{repo}-{path}-v{seq}",
             }
         )
-    # arbitrary arrival order + arbitrary batch boundaries
+    # arbitrary arrival order + arbitrary batch boundaries + at-least-once
+    # duplicate deliveries (same event replayed verbatim)
     perm = draw(st.permutations(range(n)))
-    n_cuts = draw(st.integers(0, min(3, n - 1)))
-    cuts = sorted(draw(st.sets(st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts))) if n > 1 else []
     shuffled = [rows[i] for i in perm]
-    bounds = [0, *cuts, n]
+    for _ in range(draw(st.integers(0, 3))):
+        shuffled.append(shuffled[draw(st.integers(0, len(shuffled) - 1))])
+    m = len(shuffled)
+    n_cuts = draw(st.integers(0, min(3, m - 1)))
+    cuts = sorted(draw(st.sets(st.integers(1, m - 1), min_size=n_cuts, max_size=n_cuts))) if m > 1 else []
+    bounds = [0, *cuts, m]
     return [shuffled[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1) if bounds[i] < bounds[i + 1]]
 
 
