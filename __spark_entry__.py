@@ -576,6 +576,36 @@ def _cdc_changes(spark, sf):
     return table.changes(from_snapshot=snap_mid).select(*_CDC_STATE_COLS, "change_type")
 
 
+def _cdc_evolution_e2e(spark, sf):
+    """Schema evolution through the REAL engine, oracle-checked: epoch 0
+    ships the v1 schema, epoch 1 adds ``size_bytes:int``, epoch 2 renames
+    ``lang``→``language`` (declared rename) and widens ``size_bytes`` to
+    bigint.  The final state must carry the evolved schema with
+    null-backfill for rows last written under v1 — recomputed in pure SQL
+    by the oracle."""
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    mx = ev.agg(F.max("event_seq")).first()[0]
+    t1, t2 = mx // 3, (2 * mx) // 3
+    e1 = ev.filter(F.col("event_seq") <= t1)
+    e2 = ev.filter((F.col("event_seq") > t1) & (F.col("event_seq") <= t2)).withColumn(
+        "size_bytes", F.length("content").cast("int")
+    )
+    e3 = (
+        ev.filter(F.col("event_seq") > t2)
+        .withColumnRenamed("lang", "language")
+        .withColumn("size_bytes", F.length("content").cast("bigint"))
+    )
+    table = _cdc_tmp_table(spark, sf, "evo")
+    for i, e in enumerate((e1, e2, e3)):
+        replay_batch(table, e, epoch_id=i)
+    return table.read().select(
+        "repo", "path", "language", "content", "content_sha256",
+        "last_commit", "last_event_seq", "size_bytes",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_parquet": _scan_parquet,
@@ -630,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "cdc_replay_e2e": _cdc_replay_e2e,
         "cdc_changes": _cdc_changes,
+        "cdc_evolution_e2e": _cdc_evolution_e2e,
     }
 
 
@@ -1009,5 +1040,17 @@ def oracle_sql() -> dict[str, str]:
             "WHEN live1.repo IS NOT NULL THEN 'update' ELSE 'insert' END AS change_type "
             "FROM w2 LEFT JOIN live1 ON live1.repo = w2.repo AND live1.path = w2.path "
             "WHERE NOT (w2.op = 'delete' AND live1.repo IS NULL)"
+        ),
+        "cdc_evolution_e2e": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "thr AS (SELECT max(event_seq) // 3 AS t1 FROM ev), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
+            "SELECT repo, path, lang AS language, content, "
+            "sha256(content) AS content_sha256, cmt AS last_commit, "
+            "event_seq AS last_event_seq, "
+            "CASE WHEN event_seq > (SELECT t1 FROM thr) "
+            "THEN length(content) END AS size_bytes "
+            "FROM w WHERE rn = 1 AND op <> 'delete'"
         ),
     }

@@ -53,7 +53,7 @@ def test_cdc_e2e_queries_match_duckdb(spark):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
     )
-    for name in ("cdc_replay_e2e", "cdc_changes"):
+    for name in ("cdc_replay_e2e", "cdc_changes", "cdc_evolution_e2e"):
         got = qs[name](spark, sf).toPandas()
         exp = con.execute(oracles[name]).df()
         cols = sorted(got.columns)
