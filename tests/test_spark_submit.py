@@ -68,7 +68,7 @@ def test_spark_submit_replay_job_end_to_end(spark, tmp_path):
             "--events", str(tmp_path / "events"),
             "--table", str(tmp_path / "table"),
             "--checkpoint", str(tmp_path / "ckpt"),
-            "--create", "--buckets", "4",
+            "--create", "--buckets", "4", "--stats",
         ],
         capture_output=True, text=True, timeout=420,
         env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
@@ -76,6 +76,7 @@ def test_spark_submit_replay_job_end_to_end(spark, tmp_path):
     )
     assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
     assert "epoch=0" in out.stdout and "skipped=False" in out.stdout
+    assert "'total_files':" in out.stdout  # --stats metadata summary printed
 
     from rocket_etl_spark.lake.table import LakeTable
 
