@@ -193,6 +193,24 @@ def _agg_rollup(spark, sf):
     return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _agg_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def _agg_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (SURVEY §2.5 A4's third form) — the SQL
+    surface: one pass producing by-flag and by-status marginals only (no
+    grand total, no cross product — the shape rollup/cube can't express)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    )
+
+
 def _agg_collect(spark, sf):
     o = _t(spark, sf, "orders")
     return o.groupBy("o_orderpriority").agg(
@@ -536,14 +554,15 @@ def _synth_cdc_events(spark, sf):
 
 
 def _cdc_tmp_table(spark, sf, tag):
-    import hashlib
-    import shutil
+    # a PRIVATE dir per invocation (mkdtemp): a deterministic path would let
+    # two concurrent harness runs — or a re-invocation while a previously
+    # returned lazy DataFrame is still unread — delete the live table's
+    # files out from under the reader
+    import tempfile
 
     from rocket_etl_spark.streaming.replay import create_repo_files_table
 
-    h = hashlib.md5(f"{sf}:{tag}".encode()).hexdigest()[:8]
-    d = f"/tmp/rocket_etl_cdc/{tag}-{h}"
-    shutil.rmtree(d, ignore_errors=True)  # a stale previous run must never leak in
+    d = tempfile.mkdtemp(prefix=f"rocket-etl-cdc-{tag}-")
     return create_repo_files_table(spark, f"{d}/t", num_buckets=8)
 
 
@@ -626,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_basic": _agg_basic,
         "agg_distinct": _agg_distinct,
         "agg_rollup": _agg_rollup,
+        "agg_cube": _agg_cube,
+        "agg_grouping_sets": _agg_grouping_sets,
         "agg_collect": _agg_collect,
         "agg_filtered": _agg_filtered,
         "window_lww": _window_lww,
@@ -835,6 +856,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
+        "agg_cube": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+            "GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "agg_grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+        ),
         "agg_collect": (
             "SELECT o_orderpriority, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus"
             ") AS statuses FROM orders GROUP BY o_orderpriority"
@@ -894,8 +924,12 @@ def oracle_sql() -> dict[str, str]:
             "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start FROM orders"
         ),
         "math_funcs": (
+            # BIGINT casts: Spark floor/ceil return BIGINT while DuckDB's
+            # return DOUBLE — values are identical, but the driver's value
+            # hash distinguishes 0 from 0.0 (round-2 red row, dtype only)
             "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * 10 + 0.5) / 10 AS price_r1, "
-            "floor(l_discount * 100) AS disc_pct, ceil(l_tax * 100) AS tax_pct, "
+            "CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct, "
+            "CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct, "
             "abs(l_quantity - 25) AS qty_dev, l_orderkey % 7 AS okey_mod7 FROM lineitem"
         ),
         "cond_funcs": (
@@ -1004,8 +1038,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_token_stats": (
-            "SELECT lang, sum(n) AS total_tokens, floor(avg(n) * 100 + 0.5) / 100 AS avg_tokens, "
-            "max(n) AS max_tokens FROM (SELECT lang, "
+            # CAST(sum AS BIGINT): DuckDB sum(int) returns HUGEINT, which
+            # reaches the driver as float64 (0.0 vs Spark's int64 0 — the
+            # round-2 hash-only red row); max cast to int to match Spark's
+            # size()-typed token count
+            "SELECT lang, CAST(sum(n) AS BIGINT) AS total_tokens, "
+            "floor(avg(n) * 100 + 0.5) / 100 AS avg_tokens, "
+            "CAST(max(n) AS INTEGER) AS max_tokens FROM (SELECT lang, "
             "len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents) GROUP BY lang"
         ),
         # sketch queries: DuckDB replays the exact algorithms over the

@@ -38,7 +38,10 @@ def group_profile(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFra
     grouped-map is the right tool."""
     import math
 
-    key_ddl = ", ".join(f"{k} bigint" for k in keys)
+    # key types come from the INPUT schema — a hardcoded bigint would make
+    # string-keyed groups (e.g. repo) fail Arrow conversion
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_ddl = ", ".join(f"{k} {in_types[k]}" for k in keys)
     schema = f"{key_ddl}, n bigint, mean_val double, median_val double"
 
     def r2(x: float) -> float:

@@ -25,6 +25,17 @@ def test_group_profile_matches_sql_aggregates(spark):
     assert ((m2.median_val >= m2.lo.round(2) - 0.01) & (m2.median_val <= m2.hi.round(2) + 0.01)).all()
 
 
+def test_group_profile_string_key(spark):
+    # key DDL is derived from the input schema — a string key (e.g. repo)
+    # must work, not just bigint user ids
+    df = spark.createDataFrame(
+        [("r1", 1.0), ("r1", 3.0), ("r2", 10.0)], "repo string, value double"
+    )
+    out = group_profile(df, keys=["repo"], value_col="value").toPandas()
+    got = {r.repo: (r.n, r.mean_val, r.median_val) for r in out.itertuples()}
+    assert got == {"r1": (2, 2.0, 1.0), "r2": (1, 10.0, 10.0)}
+
+
 def test_apply_per_group_arbitrary_fn(spark):
     import pandas as pd
 
