@@ -28,6 +28,28 @@ from pyspark.sql import DataFrame, SparkSession
 from rocket_etl_spark.schema.registry import TableSchema
 
 
+def epoch_fence_sql(table: str, epoch_id: int) -> tuple[str, str]:
+    """The two bounded fence probes replacing a full epochs-table collect.
+
+    * high-watermark probe: ``max(epoch_id)`` — Iceberg answers this from
+      manifest column stats (no data files read); any epoch above it is
+      trivially uncommitted, which is the common case for an in-order
+      streaming source.
+    * point probe (only when ``epoch_id <= hwm``): an equality predicate
+      Iceberg prunes to the files whose min/max stats straddle the value,
+      LIMIT 1 — at most one row ever reaches the driver.
+
+    Together the per-merge fence cost is O(1) rows to the driver instead
+    of O(total epochs): at 10^5 streaming epochs the previous
+    collect-the-table design was an unbounded driver collect + full scan
+    per micro-batch (the local backend's ``{hwm, above}`` fence,
+    lake/table.py, is the same idea held in the snapshot itself)."""
+    return (
+        f"SELECT max(epoch_id) AS hwm FROM {table}_epochs",
+        f"SELECT 1 AS hit FROM {table}_epochs WHERE epoch_id = {int(epoch_id)} LIMIT 1",
+    )
+
+
 def merge_sql(
     table: str,
     view: str,
@@ -90,13 +112,17 @@ class IcebergBackend:
         self.spark.sql(f"CREATE TABLE {self.table}_epochs (epoch_id BIGINT) USING iceberg")
         self._keys, self._order = list(key_cols), order_col
 
-    def committed_epochs(self) -> set:
-        return {
-            r["epoch_id"] for r in self.spark.sql(f"SELECT epoch_id FROM {self.table}_epochs").collect()
-        }
+    def is_epoch_committed(self, epoch_id: int) -> bool:
+        """Bounded fence check — see ``epoch_fence_sql``.  Never collects
+        the epochs table (O(1) rows to the driver per merge)."""
+        hwm_sql, point_sql = epoch_fence_sql(self.table, epoch_id)
+        row = self.spark.sql(hwm_sql).first()
+        if row is None or row["hwm"] is None or epoch_id > row["hwm"]:
+            return False
+        return self.spark.sql(point_sql).first() is not None
 
     def merge(self, batch: DataFrame, epoch_id: int | None = None):
-        if epoch_id is not None and epoch_id in self.committed_epochs():
+        if epoch_id is not None and self.is_epoch_committed(epoch_id):
             return None
         view = f"_merge_src_{abs(hash((self.table, epoch_id))) % 10**8}"
         batch.createOrReplaceTempView(view)

@@ -43,7 +43,27 @@ def compact(
     'tombstones_dropped', 'buckets_rewritten'}.  Partition-parallel: each
     bucket's rewrite is one task (repartition by the bucket column), no
     driver data path.
+
+    Concurrency: losing the snapshot CAS to a concurrent writer simply
+    RETRIES from the new tip — compaction's input is recomputed from the
+    snapshot it reads, so no work is ever stale-committed; the orphaned
+    rewrite files of the lost attempt are removed later by age-guarded
+    ``expire_snapshots``.  (Raising here — as an earlier version did —
+    would abort a live ``replay_stream(compact_every=N)`` whenever an
+    epoch commit raced a mid-stream compaction.)
     """
+    while True:
+        res = _compact_once(table, tombstone_watermark, min_files, buckets)
+        if res is not None:
+            return res
+
+
+def _compact_once(
+    table: LakeTable,
+    tombstone_watermark: int | None,
+    min_files: int,
+    buckets: list[int] | None,
+) -> dict | None:
     snap = table.current_snapshot()
     files_before = sum(len(v) for v in snap["buckets"].values())
     if buckets is not None:
@@ -72,7 +92,12 @@ def compact(
     else:
         dropped = 0
 
-    commit_tag = f"compact-{snap['snapshot_id'] + 1:08d}"
+    # uuid suffix (like merge's commit tags): two RACING compactions may
+    # both target snapshot n+1 — a deterministic dir name would have them
+    # interleave writes into the same directory
+    import uuid
+
+    commit_tag = f"compact-{snap['snapshot_id'] + 1:08d}-{uuid.uuid4().hex[:8]}"
     out_dir_rel = f"data/{commit_tag}"
     out_dir = table.path / out_dir_rel
     (
@@ -106,7 +131,7 @@ def compact(
     new_snap["added_files"] = {}
     new_snap["stats"] = {"compacted": True, "tombstones_dropped": int(dropped)}
     if not table._try_write_snapshot(new_snap):
-        raise RuntimeError("lost commit race during compaction; retry")
+        return None  # CAS lost — caller retries from the new tip
     return {
         "snapshot_id": new_snap["snapshot_id"],
         "files_before": files_before,
@@ -157,7 +182,20 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     itself per MERGE epoch.  Rebucketing to O(table_size / target_bucket
     _bytes) restores commit cost ∝ change-set size.  The rewrite itself is
     one shuffle, partition-parallel, no driver data path; readers keep
-    resolving old snapshots (their num_buckets rides each snapshot)."""
+    resolving old snapshots (their num_buckets rides each snapshot).
+
+    Losing the snapshot CAS retries from the new tip (same rationale as
+    ``compact`` — the input is recomputed, the lost attempt's files are
+    age-guarded orphans)."""
+    while True:
+        res = _rebucket_once(table, new_num_buckets)
+        if res is not None:
+            return res
+
+
+def _rebucket_once(table: LakeTable, new_num_buckets: int) -> dict | None:
+    import uuid
+
     from rocket_etl_spark.lake.table import bucket_of
 
     snap = table.current_snapshot()
@@ -166,7 +204,7 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     df = table.read(include_tombstones=True)
     keys = snap["key_cols"]
 
-    commit_tag = f"rebucket-{snap['snapshot_id'] + 1:08d}"
+    commit_tag = f"rebucket-{snap['snapshot_id'] + 1:08d}-{uuid.uuid4().hex[:8]}"
     out_dir_rel = f"data/{commit_tag}"
     out_dir = table.path / out_dir_rel
     (
@@ -193,7 +231,7 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     new_snap["added_files"] = {}  # a rewrite, not a logical change
     new_snap["stats"] = {"rebucketed_from": int(snap["num_buckets"])}
     if not table._try_write_snapshot(new_snap):
-        raise RuntimeError("lost commit race during rebucket; retry")
+        return None  # CAS lost — caller retries from the new tip
     return {
         "snapshot_id": new_snap["snapshot_id"],
         "rebucketed": True,

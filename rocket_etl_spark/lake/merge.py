@@ -82,6 +82,18 @@ import os as _os
 
 SLIM_DEDUPE_MAX_KEYS = int(_os.environ.get("SPARK_GRAFT_SLIM_MAX_KEYS", 2_000_000))
 
+# the count gate alone under-protects with WIDE keys (repo+path can be
+# hundreds of bytes: 2M such keys is a multi-hundred-MB hash relation on
+# the driver AND every executor).  The planning aggregate therefore also
+# measures actual key bytes, and the broadcast path additionally requires
+# distinct_keys × (avg_key_bytes + per-row overhead) under this bound.
+SLIM_DEDUPE_MAX_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_SLIM_MAX_BYTES", 256 * 1024 * 1024)
+)
+# JVM hash-relation per-row overhead: UnsafeRow header + ord/action/del
+# fields + map entry — ~64 bytes is deliberately conservative
+_BCAST_ROW_OVERHEAD = 64
+
 
 class CommitConflict(Exception):
     """A concurrent commit changed the table in a way this merge cannot
@@ -284,9 +296,16 @@ def _merge_broadcast(
         .when(no_t | F.col("_t_del"), F.lit("insert"))
         .otherwise(F.lit("update"))
     )
+    # _w_del rides along as the AUTHORITATIVE tombstone flag for changed
+    # rows: _action above is derived from the same max_by(_s_del) winner,
+    # so the two can never disagree.  (Re-deriving _deleted from the picked
+    # row's op — as an earlier version did — used lww_dedupe's independent
+    # tie-break, which could contradict _action when duplicate deliveries
+    # share the winning (key, order) but differ in op.)
     win = act.filter(s_wins).select(
         *[F.col(k).alias(f"_w_{k}") for k in keys],
         F.col("_s_ord").alias("_w_ord"),
+        F.col("_s_del").alias("_w_del"),
         action.alias("_action"),
     )
 
@@ -306,7 +325,7 @@ def _merge_broadcast(
     changed = changed.select(
         *keys,
         *[F.col(c) for c in vals],
-        (F.col("op") == "delete").alias("_deleted"),
+        F.col("_w_del").alias("_deleted"),
         "_action",
     ).withColumn("_bucket", bucket_of(keys, nb))
 
@@ -406,6 +425,18 @@ def _merge_once(
             # strategy; buckets partition the key space, so the per-bucket
             # sum is the batch total
             F.approx_count_distinct(F.struct(*[F.col(k) for k in keys])).alias("dk"),
+            # key BYTES (same pass, same pruned columns): sizes the
+            # broadcast hash relation — the count gate alone misjudges
+            # wide string keys
+            F.sum(
+                sum(
+                    (
+                        F.coalesce(F.octet_length(F.col(k).cast("string")), F.lit(4))
+                        for k in keys
+                    ),
+                    F.lit(0),
+                )
+            ).alias("kb"),
         )
         .collect()
     )
@@ -415,6 +446,9 @@ def _merge_once(
     seq_lo = min((r["lo"] for r in plan_rows), default=None)
     seq_hi = max((r["hi"] for r in plan_rows), default=None)
     distinct_keys = int(sum(r["dk"] for r in plan_rows))
+    key_bytes = int(sum(r["kb"] or 0 for r in plan_rows))
+    avg_key_bytes = key_bytes / rows_in if rows_in else 0.0
+    est_broadcast_bytes = int(distinct_keys * (avg_key_bytes + _BCAST_ROW_OVERHEAD))
 
     out_files: dict[int, list[dict]] = {}
     stat_map: dict[str, int] = {}
@@ -433,7 +467,10 @@ def _merge_once(
         # and read back by a pruned single-column scan for the MERGE stats —
         # explicit-schema reads make it invisible to table queries, exactly
         # like the _deleted tombstone flag.
-        if 0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS:
+        if (
+            0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS
+            and est_broadcast_bytes <= SLIM_DEDUPE_MAX_BYTES
+        ):
             # fused dedupe+MERGE: no payload ever shuffles except the
             # changed rows' final bucket placement
             outputs = _merge_broadcast(

@@ -227,6 +227,7 @@ def _append_rows(dirpath: Path, ddl: str, rows: list[dict]) -> None:
     Spark job costs a full scheduling round-trip per epoch for no
     parallelism.  pyarrow writes a standard parquet file Spark reads with
     the same explicit schema."""
+    import os
     import uuid
 
     import pyarrow as pa
@@ -234,7 +235,14 @@ def _append_rows(dirpath: Path, ddl: str, rows: list[dict]) -> None:
 
     dirpath.mkdir(parents=True, exist_ok=True)
     t = pa.Table.from_pylist(rows, schema=_ddl_to_arrow(ddl))
-    pq.write_table(t, dirpath / f"part-{uuid.uuid4().hex}.parquet")
+    # crash-atomic: write to a dot-prefixed temp and rename into place
+    # (atomic on one filesystem) — a direct write torn mid-crash would
+    # leave a corrupt footer that fails EVERY subsequent lineage read.
+    # Dot-prefixed names are invisible to Spark readers even if leaked.
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = dirpath / f".{name}.tmp"
+    pq.write_table(t, tmp)
+    os.rename(tmp, dirpath / name)
 
 
 def append_lineage(spark: SparkSession, table: LakeTable, res: CommitResult) -> None:

@@ -26,6 +26,40 @@ def test_compact_between_batches_converges(spark, tmp_path):
     pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
 
 
+def test_compact_retries_when_merge_wins_the_cas(spark, tmp_path, monkeypatch):
+    """A concurrent MERGE stealing compaction's target snapshot id must not
+    abort the compaction: it retries from the new tip and BOTH commit,
+    with the final state identical to the oracle over all events."""
+    from rocket_etl_spark.lake.table import LakeTable
+
+    ev = change_events(spark, 2_000, seed=29, delete_frac=0.1)
+    b1 = ev.filter(ev.event_seq < 1_000)
+    b2 = ev.filter(ev.event_seq >= 1_000)
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(table, b1, epoch_id=0)
+
+    real = LakeTable._try_write_snapshot
+    state = {"raced": False}
+
+    def racy(self, snap):
+        # just before the compaction's first CAS, a merge commits and wins
+        if not state["raced"] and snap.get("stats", {}).get("compacted"):
+            state["raced"] = True
+            replay_batch(table, b2, epoch_id=1)
+        return real(self, snap)
+
+    monkeypatch.setattr(LakeTable, "_try_write_snapshot", racy)
+    res = compact(table, min_files=1)
+    assert state["raced"], "the race never fired"
+    snap = table.current_snapshot()
+    assert snap["stats"].get("compacted")            # compaction committed last
+    assert res["snapshot_id"] == snap["snapshot_id"]
+    assert table.committed_epochs() == {0, 1}        # the merge also committed
+    eng = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ora = replay_oracle([b1.toPandas(), b2.toPandas()])
+    pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+
+
 def test_stream_with_compact_every(spark, tmp_path):
     import pathlib
     import shutil

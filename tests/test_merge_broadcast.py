@@ -70,6 +70,41 @@ def test_broadcast_and_smj_merge_agree(spark, tmp_path, seed):
     )
 
 
+def test_broadcast_merge_tied_order_op_conflict_is_consistent(spark, tmp_path):
+    """Duplicate deliveries sharing the winning (key, order) but DIFFERING
+    in op: whichever op the tie-break picks, the stored row's _deleted flag
+    must agree with the changelog's change_type (they are now both derived
+    from the same max_by winner — lake/merge.py::_merge_broadcast)."""
+    import pyspark.sql.functions as F
+
+    ddl = (
+        "event_seq long, op string, repo string, path string, "
+        "commit string, lang string, content string"
+    )
+    base = spark.createDataFrame(
+        [(0, "upsert", "r1", "a", "c0", "py", "base")], ddl
+    ).withColumn("event_ts", (56789 + F.col("event_seq")).cast("timestamp"))
+    # same key, same seq=5, conflicting ops — ambiguous by contract,
+    # but the outcome must be internally consistent
+    conflict = spark.createDataFrame(
+        [(5, "upsert", "r1", "a", "c5u", "py", "xu"),
+         (5, "delete", "r1", "a", "c5d", "py", "xd")], ddl
+    ).withColumn("event_ts", (56789 + F.col("event_seq")).cast("timestamp"))
+
+    t_b, r_b, _ = _run(spark, tmp_path / "b", [base, conflict], 2_000_000)
+    ch = t_b.changes(r_b[0].snapshot_id).toPandas()
+    final = ch[ch.last_event_seq == 5]
+    assert len(final) == 1
+    stored = t_b.read(include_tombstones=True).toPandas()
+    stored = stored[stored.last_event_seq == 5]
+    assert len(stored) == 1
+    change_type = final.change_type.iloc[0]
+    deleted = bool(stored._deleted.iloc[0])
+    assert (change_type == "delete") == deleted
+    # and the live read agrees: a delete leaves no visible row
+    assert len(t_b.read().toPandas()) == (0 if deleted else 1)
+
+
 def test_broadcast_merge_null_keys_match_smj(spark, tmp_path):
     """Null keys are groups, not dropped rows — on BOTH paths."""
     rows = [

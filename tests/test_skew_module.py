@@ -5,7 +5,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from rocket_etl_spark.generate import change_events
-from rocket_etl_spark.lake.iceberg_backend import merge_sql
+from rocket_etl_spark.lake.iceberg_backend import epoch_fence_sql, merge_sql
 from rocket_etl_spark.operators.skew import detect_hot_keys, with_salt
 
 
@@ -32,6 +32,18 @@ def test_with_salt_spreads_only_hot_keys(spark):
         "repo", "_salt").count().toPandas()
     assert pdf.sort_values(["repo", "_salt"]).reset_index(drop=True).equals(
         pdf2.sort_values(["repo", "_salt"]).reset_index(drop=True))
+
+
+def test_iceberg_epoch_fence_sql_is_bounded():
+    """The fence must never collect the epochs table: a max() aggregate
+    (manifest stats) + an equality point probe with LIMIT 1."""
+    hwm_sql, point_sql = epoch_fence_sql("lake.db.t", 12345)
+    assert hwm_sql == "SELECT max(epoch_id) AS hwm FROM lake.db.t_epochs"
+    assert "WHERE epoch_id = 12345" in point_sql
+    assert "LIMIT 1" in point_sql
+    # replay the O(1) decision logic against both probes' possible answers:
+    # epoch above the hwm needs no second query at all
+    assert "SELECT epoch_id FROM" not in hwm_sql + point_sql  # no full scan shape
 
 
 def test_iceberg_merge_sql_arms():
