@@ -444,6 +444,17 @@ def _dedup_ngram_jaccard(spark, sf):
     )
 
 
+def _dedup_components(spark, sf):
+    """Near-dup pairs → connected components (the dedupe DECISION: one
+    representative per duplicate cluster, transitively closed) — Spark
+    runs min-label propagation to fixpoint, the oracle a recursive CTE."""
+    from rocket_etl_spark.operators.dedup import neardup_components
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, n=1, threshold=0.6, block_col="lang")
+    return neardup_components(d, pairs)
+
+
 def _dedup_minhash(spark, sf):
     # hash_fn='md5': identical banded-LSH algorithm over the cross-engine
     # md5_60bit hash, so the DuckDB oracle replays the sketch exactly
@@ -459,7 +470,12 @@ def _dedup_simhash(spark, sf):
 
 
 def _dedup_embedding(spark, sf):
-    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+    # method='block' EXPLICITLY: the exact same-label all-pairs mode is the
+    # ANSI-SQL-replayable one.  The function DEFAULT is 'lsh' (bounded
+    # candidates — the at-scale path), pytest-checked for recall.
+    return embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.3, method="block"
+    )
 
 
 def _knn_cosine(spark, sf):
@@ -670,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_map": _grouped_map,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_components": _dedup_components,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
@@ -693,6 +710,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _duck_md5i(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# the ngram-Jaccard pair query as reusable CTE pieces: dedup_ngram_jaccard
+# uses them directly, dedup_components builds its recursive closure on top
+_NGRAM_SH_CTE = (
+    "sh AS (SELECT doc_id, lang, "
+    "list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS s FROM documents)"
+)
+_NGRAM_PAIRS_SELECT = (
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "  greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) AS jaccard_sim "
+    "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+    "WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "  greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) >= 0.6"
+)
 
 
 def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
@@ -740,7 +773,27 @@ WHERE {jac} >= {threshold}
 """
 
 
-def _simhash_oracle_sql(max_hamming: int = 12, block_bits: int = 16) -> str:
+def _simhash_oracle_sql(
+    max_hamming: int = 12, n_segments: int = 6, segs_per_table: int = 2
+) -> str:
+    # bit-replays the Manku multi-table blocking: same segment layout and
+    # table combinations as the Spark operator (shared helpers), string
+    # buckets = comma-joined decimal segment values in BOTH engines
+    from rocket_etl_spark.operators.dedup import simhash_segments, simhash_tables
+
+    segs = simhash_segments(60, n_segments)
+
+    def seg_sql(i: int) -> str:
+        lo, mask = segs[i]
+        return f"((sim >> {lo}) & {mask})"
+
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {t} AS tbl, {b} AS bucket FROM sig".format(
+            t=t,
+            b=" || ',' || ".join(f"{seg_sql(i)}::VARCHAR" for i in combo),
+        )
+        for t, combo in enumerate(simhash_tables(n_segments, segs_per_table))
+    )
     return f"""
 WITH tokh AS (
   SELECT doc_id, list_transform(
@@ -752,13 +805,16 @@ WITH tokh AS (
       CASE WHEN (h & (1::BIGINT << i)) <> 0 THEN 1 ELSE -1 END)) > 0
     THEN (1::BIGINT << i) ELSE 0 END)) AS sim
   FROM tokh
-), blocked AS (
-  SELECT doc_id, sim, sim >> {60 - block_bits} AS blk FROM sig
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.sim, b.sim)) AS hamming
-FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+SELECT c.id_a, c.id_b, bit_count(xor(sa.sim, sb.sim)) AS hamming
+FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.sim, sb.sim)) <= {max_hamming}
 """
 
 
@@ -992,15 +1048,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes "
             "FROM documents GROUP BY sha256(text)"
         ),
-        "dedup_ngram_jaccard": (
-            "WITH sh AS (SELECT doc_id, lang, "
-            "  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS s FROM documents) "
-            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
-            "  greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) AS jaccard_sim "
-            "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id "
-            "WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
-            "  greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) >= 0.6"
+        "dedup_ngram_jaccard": f"WITH {_NGRAM_SH_CTE} {_NGRAM_PAIRS_SELECT}",
+        "dedup_components": (
+            # transitive closure via recursive CTE: reach(id, r) = node r
+            # reaches id over the symmetric near-dup edges; min reacher =
+            # the component's min id — exactly the label-propagation
+            # fixpoint the Spark operator converges to
+            f"WITH RECURSIVE {_NGRAM_SH_CTE}, "
+            f"p AS ({_NGRAM_PAIRS_SELECT}), "
+            "edges AS (SELECT id_a AS s, id_b AS d FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach AS (SELECT doc_id AS id, doc_id AS r FROM documents "
+            "UNION SELECT e.d AS id, reach.r AS r "
+            "FROM reach JOIN edges e ON e.s = reach.id) "
+            "SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id"
         ),
         "dedup_embedding": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -371,44 +371,210 @@ def simhash60_from_hashes(th: Column) -> Column:
     )
 
 
+def simhash_segments(sig_bits: int, n_segments: int) -> list[tuple[int, int]]:
+    """(shift, mask) for each of ``n_segments`` contiguous disjoint bit
+    segments covering a ``sig_bits``-wide signature (last may be narrower).
+    Shared by the Spark operator and the DuckDB oracle generator so both
+    engines replay identical blocking."""
+    w = -(-sig_bits // n_segments)  # ceil
+    out = []
+    for i in range(n_segments):
+        lo = i * w
+        width = min(w, sig_bits - lo)
+        out.append((lo, (1 << width) - 1))
+    return out
+
+
+def simhash_tables(n_segments: int, segs_per_table: int) -> list[tuple[int, ...]]:
+    """Manku table index: every ``segs_per_table``-combination of segment
+    ids.  Pigeonhole guarantee: k bit-errors touch at most k segments, so
+    any pair within hamming ``n_segments - segs_per_table`` has some table
+    whose segments are all untouched — full recall up to that bound."""
+    from itertools import combinations
+
+    return list(combinations(range(n_segments), segs_per_table))
+
+
+def simhash_candidate_pairs(
+    s: DataFrame,
+    id_col: str,
+    sig_bits: int,
+    n_segments: int,
+    segs_per_table: int,
+    string_buckets: bool,
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) from multi-table SimHash blocking
+    (Manku et al., WWW'07 — "Detecting near-duplicates for web crawling").
+
+    ``s`` is (id, _sim).  Each table keys on the concatenated values of
+    ``segs_per_table`` of the ``n_segments`` disjoint signature segments;
+    a pair is a candidate iff ALL of some table's segments match.  With
+    the (6, 2) default on a 60-bit signature: 15 tables × 20-bit keys —
+    per-table collision volume ~n²/2²⁰, and guaranteed recall for pairs
+    within hamming 4 (probabilistically near-1 well beyond; the round-2
+    single-top-16-bit block both missed top-bit differences outright and
+    concentrated all pairs in 2¹⁶ buckets).
+
+    ``string_buckets=True`` keys tables on comma-joined decimal segment
+    values (replayable in ANSI SQL — the oracle mode); otherwise buckets
+    are xxhash64 of the segment values (8-byte shuffle keys)."""
+    segs = [
+        F.shiftrightunsigned(F.col("_sim"), lo).bitwiseAND(F.lit(mask))
+        for lo, mask in simhash_segments(sig_bits, n_segments)
+    ]
+    tables = simhash_tables(n_segments, segs_per_table)
+
+    def bucket(combo: tuple[int, ...]) -> Column:
+        if string_buckets:
+            return F.concat_ws(",", *[segs[i].cast("string") for i in combo])
+        return F.xxhash64(*[segs[i] for i in combo]).cast("string")
+
+    banded = s.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), bucket(combo).alias("bucket"))
+                    for t, combo in enumerate(tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.tbl", "_b.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    return (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    block_bits: int = 16,
     impl: str = "udf",
+    n_segments: int = 6,
+    segs_per_table: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on the top
-    ``block_bits`` bits (docs differing only in low bits still collide;
-    the classic multi-probe trade-off, good enough as a candidate stage).
+    """Near-dup pairs by SimHash hamming distance — candidates from
+    multi-table segment blocking (``simhash_candidate_pairs``), then
+    exact-hamming verified.
+
+    Recall: exact for pairs within hamming ``n_segments - segs_per_table``
+    (pigeonhole over disjoint segments); beyond that bound a pair is found
+    iff some table's segments are untouched — near-1 in practice since
+    simhash errors concentrate where documents differ.  Raise
+    ``n_segments`` (more, narrower segments) to push the guarantee toward
+    a larger ``max_hamming`` at the cost of coarser per-table keys.
 
     ``impl='udf'`` — 64-bit blake2b signature via the vectorized pandas
     UDF (the custom-Python surface).  ``impl='expr'`` — 60-bit md5-based
     signature in pure JVM expressions, bit-replayable in DuckDB SQL for
     the harness oracle.  Same algorithm, different hash basis."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     if impl == "expr":
         sig_bits = 60
         toked = df.select(
             F.col(id_col),
             F.transform(tokens(F.col(text_col)), md5_60bit).alias("_th"),
-        ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+        ).repartition(par)
         s = toked.select(F.col(id_col), simhash60_from_hashes(F.col("_th")).alias("_sim"))
     elif impl == "udf":
         sig_bits = 64
         s = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sim"))
     else:
         raise ValueError(f"unknown impl {impl!r}")
-    s = s.withColumn("_blk", F.shiftrightunsigned(F.col("_sim"), sig_bits - block_bits))
-    a = s.select(F.col(id_col).alias("id_a"), F.col("_sim").alias("_ha"), "_blk")
-    b = s.select(F.col(id_col).alias("id_b"), F.col("_sim").alias("_hb"), "_blk")
+    # barrier: pin the (expensive) signature as shuffled bytes so the
+    # 15-table band explode and the verify join never re-inline it
+    s = s.repartition(par)
+    cand = simhash_candidate_pairs(
+        s, id_col, sig_bits, n_segments, segs_per_table, string_buckets=(impl == "expr")
+    )
+    sa = s.select(F.col(id_col).alias("id_a"), F.col("_sim").alias("_ha"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col("_sim").alias("_hb"))
     return (
-        a.join(b, on="_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
         .withColumn("hamming", hamming64(F.col("_ha"), F.col("_hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------- components / corpus dedupe
+def neardup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, component_id) — connected components over near-dup pairs,
+    the step that turns pairwise similarity output into an actionable
+    dedupe decision (one representative per duplicate CLUSTER, not per
+    pair — A~B~C must collapse to one doc even if (A,C) was never
+    emitted).
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round a node takes the min of its label and its neighbors'.
+    Converges in O(cluster diameter) rounds — near-dup clusters are
+    short-diameter in practice (a hub + variants), so typically 2-4
+    rounds.  Each round is one edge join + one min-aggregation, both
+    key-partitioned; ``localCheckpoint`` truncates the lineage so the
+    plan stays one round deep (on a cluster with executor churn, set
+    ``spark.sparkContext.setCheckpointDir`` and swap for ``checkpoint`` —
+    same contract, fault-tolerant storage).  Convergence is detected by
+    the global label sum, which strictly decreases until fixpoint (labels
+    are per-node monotone non-increasing) — one cheap aggregate per
+    round, no driver-side data.
+
+    Docs in no pair keep their own id (singleton components), so the
+    output is a total map over ``df`` and the keep-list is exactly
+    ``component_id``'s distinct values."""
+    edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).unionByName(
+        pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(
+                labels.select(F.col("id").alias("s"), F.col("comp").alias("_nc")), on="s"
+            )
+            .groupBy("d")
+            .agg(F.min("_nc").alias("_nc"))
+        )
+        labels = (
+            labels.join(msgs, labels.id == msgs.d, "left")
+            .select("id", F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("comp")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
+
+
+def dedupe_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The corpus with one representative (min id) kept per near-dup
+    cluster — the terminal op of the dedupe cascade: pairs (from any of
+    exact/ngram/minhash/simhash/embedding) → components → keep-list →
+    semi-join filter.  The keep decision never moves document payloads:
+    only (id, component_id) rows shuffle."""
+    comps = neardup_components(df, pairs, id_col, id_a, id_b)
+    keep = comps.filter(F.col(id_col) == F.col("component_id")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
 
 
 # ----------------------------------------------------- embedding cosine
@@ -435,7 +601,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.95,
-    method: str = "block",
+    method: str = "lsh",
     dim: int = 64,
     bands: int = 8,
     planes_per_band: int = 8,
@@ -443,12 +609,17 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
+    ``method='lsh'`` is the DEFAULT — the bounded-candidate-volume path
+    is what a caller gets unless they explicitly opt into the all-pairs
+    block mode (the harness oracle query does, since exact block mode is
+    fully ANSI-SQL-replayable).
+
     ``method='block'`` — EXACT within ``block_col`` groups: every
     same-block pair is verified.  Deterministic and fully SQL-checkable,
     but a hot block degenerates to all-pairs — only for known-bounded
     blocks (or oracle comparisons).
 
-    ``method='lsh'`` — the 100 TB default: candidates are pairs sharing
+    ``method='lsh'`` — the 100 TB path: candidates are pairs sharing
     ANY banded hyperplane signature (``similarity.lsh_band_signatures``),
     then exact-cosine verified; ``block_col`` (if given) additionally
     confines pairs to the same block.  Candidate volume is

@@ -59,10 +59,61 @@ def test_minhash_lsh_finds_known_neardups(spark):
 
 
 def test_simhash_hamming_orders_by_similarity(spark):
-    pairs = simhash_pairs(_docs(spark), max_hamming=64, block_bits=1).toPandas()
+    # segs_per_table=1: a pair collides if ANY single segment matches —
+    # the widest-recall configuration, surfacing near and exact dups alike
+    pairs = simhash_pairs(
+        _docs(spark), max_hamming=64, n_segments=6, segs_per_table=1
+    ).toPandas()
     h = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples(index=False)}
     assert h[(1, 2)] == 0                      # identical → same fingerprint
     assert h[(1, 3)] < h.get((1, 4), 64)       # near dup closer than unrelated
+
+
+def test_components_close_transitively_and_corpus_keeps_min(spark):
+    """A~B and B~C (no A~C pair) must collapse to ONE cluster; singletons
+    keep their own id; dedupe_corpus keeps exactly the min id per cluster."""
+    from rocket_etl_spark.operators.dedup import dedupe_corpus, neardup_components
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 9)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    comp = neardup_components(docs, pairs).toPandas()
+    got = dict(zip(comp.doc_id, comp.component_id))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}
+    kept = sorted(r.doc_id for r in dedupe_corpus(docs, pairs).collect())
+    assert kept == [1, 4, 9]
+
+
+def test_simhash_multitable_finds_top_bit_differences(spark):
+    """The round-2 single-top-16-bit block missed any pair differing in the
+    top 16 bits.  The Manku multi-table candidates must find a pair whose
+    ONLY differing bits are in the top 16 — pigeonhole over the segments
+    not touched by the difference."""
+    from rocket_etl_spark.operators.dedup import simhash_candidate_pairs
+    import pyspark.sql.functions as F
+
+    base = 0b10110_01101_11010_00111_01010_11001_10101_00110_11100_01011_00101_10010
+    assert base < (1 << 60)
+    flipped = base ^ (0b1111 << 52)  # hamming 4, bits 52-55 only (top 16)
+    far = base ^ ((1 << 30) - 1)     # hamming 30 partner, for contrast
+    s = spark.createDataFrame(
+        [(1, base), (2, flipped), (3, far)], "doc_id long, _sim long"
+    )
+    cand = simhash_candidate_pairs(
+        s, "doc_id", sig_bits=60, n_segments=6, segs_per_table=2,
+        string_buckets=True,
+    ).toPandas()
+    found = {tuple(r) for r in cand[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1, 2) in found  # differs only in top bits — still a candidate
+    # and the xxhash64 bucket mode agrees on the same pair
+    cand2 = simhash_candidate_pairs(
+        s, "doc_id", sig_bits=60, n_segments=6, segs_per_table=2,
+        string_buckets=False,
+    ).toPandas()
+    assert (1, 2) in {tuple(r) for r in cand2[["id_a", "id_b"]].itertuples(index=False)}
 
 
 def test_lsh_ann_subset_of_bruteforce_space(spark):
