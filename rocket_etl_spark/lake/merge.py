@@ -228,6 +228,7 @@ def _merge_broadcast(
     vals,
     nb: int,
     derived_cols: dict,
+    dedupe_guard: bool = True,
 ) -> list[tuple[DataFrame, bool]]:
     """Broadcast MERGE — neither losing batch rows nor the table's wide
     rows ever shuffle; LWW dedupe and MERGE fuse into one decision.
@@ -248,8 +249,9 @@ def _merge_broadcast(
     4. changed rows: batch ⋈ broadcast(win) on (keys, ord = winning ord)
        map-side picks exactly the winner rows in ONE wide pass over the
        batch (a thin max_by guard collapses duplicate deliveries of the
-       winning (key, ord) pair), then one bucket-partitioned shuffle of
-       ONLY changed rows for tight files;
+       winning (key, ord) pair — skipped entirely when the planning pass
+       proved the batch duplicate-free), then one bucket-partitioned
+       shuffle of ONLY changed rows for tight files;
     5. keep rows: current LEFT ANTI broadcast(win) — a map-side filter:
        each scan task streams its bucket's survivors straight back to
        parquet, payload untouched by any exchange.
@@ -312,14 +314,20 @@ def _merge_broadcast(
     cond_s = F.col(order_col).eqNullSafe(F.col("_w_ord"))
     for k in keys:
         cond_s = cond_s & F.col(k).eqNullSafe(F.col(f"_w_{k}"))
-    from rocket_etl_spark.operators.lww import lww_dedupe
 
     picked = batch.join(F.broadcast(win), cond_s, "inner").drop(
         *[f"_w_{k}" for k in keys], "_w_ord"
     )
-    # duplicate deliveries of the winning (key, ord) pair: thin guard agg
-    # over winner rows only (~one row per key reaches it)
-    changed = lww_dedupe(picked, keys=keys, order_col=order_col)
+    if dedupe_guard:
+        # duplicate deliveries of the winning (key, ord) pair: guard agg
+        # over winner rows only (~one row per key reaches it).  Skipped
+        # when the planning pass PROVED the batch (key, order)-duplicate-
+        # free (exact count-distinct) — then ``picked`` is already one row
+        # per key, and the winner payload's only remaining exchange is its
+        # final bucket placement.
+        changed = lww_dedupe(picked, keys=keys, order_col=order_col)
+    else:
+        changed = picked
     for c, expr in derived_cols.items():
         changed = changed.withColumn(c, expr)
     changed = changed.select(
@@ -437,6 +445,15 @@ def _merge_once(
                     F.lit(0),
                 )
             ).alias("kb"),
+            # EXACT distinct (key, order) pairs: when it equals the row
+            # count, the batch provably has no duplicate deliveries of any
+            # (key, order) pair, and the broadcast path can skip its
+            # post-pick dedupe guard — a full payload shuffle+aggregation
+            # saved on the (typical) duplicate-free epoch.  Exact on
+            # purpose: an approximate count could skip the guard wrongly.
+            F.count_distinct(
+                F.struct(*[F.col(k) for k in keys], F.col(order_col))
+            ).alias("ndp"),
         )
         .collect()
     )
@@ -446,6 +463,7 @@ def _merge_once(
     seq_lo = min((r["lo"] for r in plan_rows), default=None)
     seq_hi = max((r["hi"] for r in plan_rows), default=None)
     distinct_keys = int(sum(r["dk"] for r in plan_rows))
+    dup_deliveries = rows_in != int(sum(r["ndp"] for r in plan_rows))
     key_bytes = int(sum(r["kb"] or 0 for r in plan_rows))
     avg_key_bytes = key_bytes / rows_in if rows_in else 0.0
     est_broadcast_bytes = int(distinct_keys * (avg_key_bytes + _BCAST_ROW_OVERHEAD))
@@ -474,7 +492,8 @@ def _merge_once(
             # fused dedupe+MERGE: no payload ever shuffles except the
             # changed rows' final bucket placement
             outputs = _merge_broadcast(
-                batch, current, keys, order_col, vals, nb, derived_cols
+                batch, current, keys, order_col, vals, nb, derived_cols,
+                dedupe_guard=dup_deliveries,
             )
         else:
             # key set exceeds the broadcast bound → slim forms unavailable;
