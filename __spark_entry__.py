@@ -29,7 +29,13 @@ from rocket_etl_spark.operators.dedup import (
 )
 from rocket_etl_spark.operators.lww import lww_dedupe
 from rocket_etl_spark.operators.similarity import cosine_topk, lsh_ann_topk
-from rocket_etl_spark.operators.text import fingerprint, lang_id, quality_metrics, token_count
+from rocket_etl_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_metrics,
+    token_count,
+    token_count_bpe,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -509,6 +515,17 @@ def _text_fingerprint(spark, sf):
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _text_token_bpe(spark, sf):
+    """BPE-ish subword token counts next to whitespace counts — the
+    corpus-budgeting pair; identical regex runs in both engines."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        token_count_bpe("text").alias("n_bpe_tokens"),
+    )
+
+
 def _text_token_stats(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -696,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_fingerprint": _text_fingerprint,
         "text_token_stats": _text_token_stats,
+        "text_token_bpe": _text_token_bpe,
         "cdc_replay_e2e": _cdc_replay_e2e,
         "cdc_changes": _cdc_changes,
         "cdc_evolution_e2e": _cdc_evolution_e2e,
@@ -1107,6 +1125,13 @@ def oracle_sql() -> dict[str, str]:
             "floor(avg(n) * 100 + 0.5) / 100 AS avg_tokens, "
             "CAST(max(n) AS INTEGER) AS max_tokens FROM (SELECT lang, "
             "len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents) GROUP BY lang"
+        ),
+        "text_token_bpe": (
+            "SELECT doc_id, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens, "
+            "len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) "
+            "AS n_bpe_tokens FROM documents"
         ),
         # sketch queries: DuckDB replays the exact algorithms over the
         # cross-engine md5-60bit hash (generated SQL above)

@@ -25,6 +25,21 @@ def tokens(text: str | Column) -> Column:
     return F.split(F.trim(c), _WS)
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs, each
+# absorbing one leading space (the GPT-2 pre-tokenizer shape, minus the
+# RE2-incompatible lookahead so the DuckDB oracle runs the SAME pattern)
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(text: str | Column) -> Column:
+    """Subword-style token count: non-overlapping matches of the BPE-ish
+    pre-tokenizer pattern — the usual cheap proxy for "how many tokens
+    will the tokenizer emit" when budgeting a training corpus (true BPE
+    merges only split these runs further, never across them)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_SPLIT_RE))
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality scores: token count, char counts, alpha/space
     ratios, mean token length — the usual cheap pre-training filters."""
