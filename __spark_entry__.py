@@ -628,6 +628,41 @@ def _cdc_changes(spark, sf):
     return table.changes(from_snapshot=snap_mid).select(*_CDC_STATE_COLS, "change_type")
 
 
+def _cdc_time_travel(spark, sf):
+    """Snapshot time travel: replay two epochs, read AS OF the snapshot
+    after epoch 0 — the oracle recomputes the LWW state over the first
+    half of the stream only."""
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "tt")
+    replay_batch(table, ev.filter(F.col("event_seq") <= thr), epoch_id=0)
+    snap_mid = table.current_snapshot()["snapshot_id"]
+    replay_batch(table, ev.filter(F.col("event_seq") > thr), epoch_id=1)
+    return table.read(snapshot_id=snap_mid).select(*_CDC_STATE_COLS)
+
+
+def _cdc_lineage(spark, sf):
+    """Per-epoch lineage rows (event counts + MERGE action counts) from a
+    two-epoch replay — the oracle recomputes every number from the raw
+    stream (inserts/updates from each epoch's non-delete winners, deletes
+    only where the key was live before)."""
+    from rocket_etl_spark.streaming.replay import append_lineage, read_lineage, replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "lin")
+    for i, pred in enumerate(
+        (F.col("event_seq") <= thr, F.col("event_seq") > thr)
+    ):
+        res = replay_batch(table, ev.filter(pred), epoch_id=i)
+        append_lineage(spark, table, res)
+    return read_lineage(spark, table).select(
+        "epoch_id", "rows_in", "rows_upserted", "rows_deleted"
+    )
+
+
 def _cdc_evolution_e2e(spark, sf):
     """Schema evolution through the REAL engine, oracle-checked: epoch 0
     ships the v1 schema, epoch 1 adds ``size_bytes:int``, epoch 2 renames
@@ -717,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_e2e": _cdc_replay_e2e,
         "cdc_changes": _cdc_changes,
         "cdc_evolution_e2e": _cdc_evolution_e2e,
+        "cdc_time_travel": _cdc_time_travel,
+        "cdc_lineage": _cdc_lineage,
     }
 
 
@@ -1165,6 +1202,38 @@ def oracle_sql() -> dict[str, str]:
             "WHEN live1.repo IS NOT NULL THEN 'update' ELSE 'insert' END AS change_type "
             "FROM w2 LEFT JOIN live1 ON live1.repo = w2.repo AND live1.path = w2.path "
             "WHERE NOT (w2.op = 'delete' AND live1.repo IS NULL)"
+        ),
+        "cdc_time_travel": (
+            # state AS OF the post-epoch-0 snapshot == LWW over the first
+            # half of the stream
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "thr AS (SELECT max(event_seq) // 2 AS t FROM ev), "
+            "w AS (SELECT * FROM (SELECT e.*, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn "
+            "FROM ev e, thr WHERE event_seq <= t) WHERE rn = 1) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq "
+            "FROM w WHERE op <> 'delete'"
+        ),
+        "cdc_lineage": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "thr AS (SELECT max(event_seq) // 2 AS t FROM ev), "
+            "w1 AS (SELECT * FROM (SELECT e.*, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn "
+            "FROM ev e, thr WHERE event_seq <= t) WHERE rn = 1), "
+            "w2 AS (SELECT * FROM (SELECT e.*, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn "
+            "FROM ev e, thr WHERE event_seq > t) WHERE rn = 1), "
+            "live1 AS (SELECT repo, path FROM w1 WHERE op <> 'delete') "
+            "SELECT CAST(0 AS BIGINT) AS epoch_id, "
+            "(SELECT count(*) FROM ev, thr WHERE event_seq <= t) AS rows_in, "
+            "(SELECT count(*) FROM w1 WHERE op <> 'delete') AS rows_upserted, "
+            "CAST(0 AS BIGINT) AS rows_deleted "
+            "UNION ALL SELECT CAST(1 AS BIGINT), "
+            "(SELECT count(*) FROM ev, thr WHERE event_seq > t), "
+            "(SELECT count(*) FROM w2 WHERE op <> 'delete'), "
+            "(SELECT count(*) FROM w2 JOIN live1 USING (repo, path) "
+            "WHERE w2.op = 'delete')"
         ),
         "cdc_evolution_e2e": (
             f"WITH ev AS ({_CDC_EV_SQL}), "
