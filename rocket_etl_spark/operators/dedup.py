@@ -1,18 +1,26 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, cheapest-first — the standard cascade for 100 TB corpora:
+The cascade, cheapest-first — the standard shape for 100 TB corpora:
 
 * exact        — hash groupBy; one shuffle, map-side combine.
-* ngram-jaccard— exact set similarity on token n-grams, blocked so the
-                 self-join never goes quadratic over the whole corpus.
+* ngram-jaccard— EXACT set similarity via prefix-filtered similarity
+                 join (AllPairs/PPJoin) — never an all-pairs join.
 * minhash LSH  — sketch + banding: near-dup *candidates* at O(n·bands)
                  shuffle volume instead of O(n²) comparisons.
-* simhash      — 64-bit fingerprint; hamming-ball lookups.
-* embedding    — cosine near-dups over a vector column (blocked).
+* simhash      — 60/64-bit fingerprint; Manku multi-table blocking for
+                 hamming-ball candidates with bounded per-table volume.
+* embedding    — cosine near-dups over a vector column (banded
+                 hyperplane LSH by default; exact block mode for
+                 oracle checks).
+* components   — pairs → transitively-closed clusters → one
+                 representative (``neardup_components``/``dedupe_corpus``),
+                 the step that turns similarity output into a dedupe
+                 DECISION.
 
-All set/sketch math is JVM higher-order functions (transform/aggregate/
-zip_with); simhash uses a vectorized numpy pandas UDF (bit-twiddling is
-genuinely awkward in exprs).  Nothing collects to the driver.
+Set/sketch math is JVM higher-order functions (transform/aggregate/
+zip_with) where those stay linear, and vectorized numpy pandas UDFs
+where batching wins (simhash bit-twiddling, hyperplane matmuls).
+Nothing collects to the driver.
 """
 
 from __future__ import annotations
