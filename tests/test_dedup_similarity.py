@@ -87,6 +87,40 @@ def test_components_close_transitively_and_corpus_keeps_min(spark):
     assert kept == [1, 4, 9]
 
 
+def test_components_match_union_find_on_random_graphs(spark):
+    """Label propagation must equal a sequential union-find on random
+    graphs (cycles, chains, hubs, isolated nodes)."""
+    import random
+
+    from rocket_etl_spark.operators.dedup import neardup_components
+
+    rng = random.Random(77)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r.doc_id: r.component_id
+        for r in neardup_components(docs, pairs).collect()
+    }
+    assert got == want
+
+
 def test_simhash_multitable_finds_top_bit_differences(spark):
     """The round-2 single-top-16-bit block missed any pair differing in the
     top 16 bits.  The Manku multi-table candidates must find a pair whose

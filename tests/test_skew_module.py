@@ -46,6 +46,47 @@ def test_iceberg_epoch_fence_sql_is_bounded():
     assert "SELECT epoch_id FROM" not in hwm_sql + point_sql  # no full scan shape
 
 
+def test_iceberg_fence_short_circuits_above_hwm():
+    """The fence decision itself: an epoch above max(epoch_id) needs NO
+    point query (one statement, zero rows moved); at-or-below runs the
+    LIMIT-1 point probe.  Exercised through a stub session so the logic
+    is tested even though the Iceberg jar is absent."""
+    from rocket_etl_spark.lake.iceberg_backend import IcebergBackend
+
+    class _Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    class _Res:
+        def __init__(self, row):
+            self._row = row
+
+        def first(self):
+            return self._row
+
+    class _StubSpark:
+        def __init__(self, hwm, committed):
+            self.hwm, self.committed, self.log = hwm, committed, []
+
+        def sql(self, q):
+            self.log.append(q)
+            if "max(epoch_id)" in q:
+                return _Res(_Row({"hwm": self.hwm}))
+            epoch = int(q.split("epoch_id = ")[1].split(" ")[0])
+            return _Res(_Row({"hit": 1}) if epoch in self.committed else None)
+
+    be = IcebergBackend.__new__(IcebergBackend)  # skip the catalog probe
+    be.spark = _StubSpark(hwm=10, committed={3, 10})
+    be.table = "lake.db.t"
+    assert not be.is_epoch_committed(11)
+    assert len(be.spark.log) == 1          # short-circuit: no point probe
+    assert be.is_epoch_committed(3)
+    assert not be.is_epoch_committed(4)
+    # empty epochs table: max() is NULL -> nothing committed
+    be.spark = _StubSpark(hwm=None, committed=set())
+    assert not be.is_epoch_committed(0)
+
+
 def test_iceberg_merge_sql_arms():
     sql = merge_sql("lake.db.t", "src", ["repo", "path"], "last_event_seq",
                     ["lang", "content", "last_event_seq"])
