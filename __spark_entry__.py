@@ -492,6 +492,16 @@ def _knn_lsh(spark, sf):  # rows-only: hyperplane sketch not ANSI-SQL
     return lsh_ann_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
 
 
+def _knn_ivf(spark, sf):
+    """IVF ANN (sampled-k-means inverted lists + nprobe search).
+    Rows-only by design: k-means is iterative and data-dependent, not
+    ANSI-SQL-expressible — the pytest gate checks every returned cosine
+    against brute force and recall against exact top-k instead."""
+    from rocket_etl_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
+
+
 def _grouped_map(spark, sf):
     """Per-user profile via Arrow grouped-map applyInPandas — the engine's
     replacement for the reference's custom_processing callbacks."""
@@ -744,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "knn_cosine": _knn_cosine,
         "knn_lsh": _knn_lsh,
+        "knn_ivf": _knn_ivf,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_fingerprint": _text_fingerprint,
