@@ -23,9 +23,12 @@ def test_oracle_keys_subset_of_queries():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every query is oracle-checked since round 2 (the sketch queries run
-    # over the cross-engine md5-60bit hash, replayed in generated SQL)
-    assert set(qs) == set(oracles)
+    # every query is oracle-checked (the sketch queries run over the
+    # cross-engine md5-60bit hash, replayed in generated SQL) EXCEPT the
+    # sanctioned rows-only set: iterative/data-dependent algorithms that
+    # ANSI SQL cannot replay (the driver records a weaker rows-only check)
+    rows_only_by_design = {"knn_ivf"}  # k-means quantizer is iterative
+    assert set(qs) - set(oracles) == rows_only_by_design
     assert len(qs) >= 40
 
 
