@@ -89,6 +89,34 @@ def test_ivf_ann_exact_cosines_and_recall(spark):
     assert list(again.vec_id) == list(approx.vec_id)
 
 
+def test_simhash_pigeonhole_recall_guarantee(spark):
+    """EXACT recall bound: with 6 segments and 2-segment table keys, any
+    pair within hamming 6-2=4 MUST be a candidate (k flipped bits touch
+    at most k segments; some table's 2 segments stay clean).  Randomized
+    pairs at the exact bound, every one must appear."""
+    import random
+
+    from rocket_etl_spark.operators.dedup import simhash_candidate_pairs
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(40):
+        base = rng.getrandbits(60)
+        flipped = base
+        for b in rng.sample(range(60), 4):  # exactly hamming 4
+            flipped ^= 1 << b
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, flipped))
+    s = spark.createDataFrame(rows, "doc_id long, _sim long")
+    cand = simhash_candidate_pairs(
+        s, "doc_id", sig_bits=60, n_segments=6, segs_per_table=2,
+        string_buckets=False,
+    ).toPandas()
+    found = {tuple(r) for r in cand[["id_a", "id_b"]].itertuples(index=False)}
+    missing = [i for i in range(40) if (2 * i, 2 * i + 1) not in found]
+    assert not missing, f"pigeonhole guarantee violated for pairs {missing}"
+
+
 def test_components_close_transitively_and_corpus_keeps_min(spark):
     """A~B and B~C (no A~C pair) must collapse to ONE cluster; singletons
     keep their own id; dedupe_corpus keeps exactly the min id per cluster."""
