@@ -596,16 +596,32 @@ def _synth_cdc_events(spark, sf):
     )
 
 
+_CDC_TMP_DIRS: list = []
+
+
+def _cdc_cleanup() -> None:
+    import shutil
+
+    for d in _CDC_TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _cdc_tmp_table(spark, sf, tag):
     # a PRIVATE dir per invocation (mkdtemp): a deterministic path would let
     # two concurrent harness runs — or a re-invocation while a previously
     # returned lazy DataFrame is still unread — delete the live table's
-    # files out from under the reader
+    # files out from under the reader.  Each process removes ONLY its own
+    # dirs, at exit (atexit) — so nothing ever yanks files from a live
+    # reader, and repeated runs don't accumulate /tmp residue.
+    import atexit
     import tempfile
 
     from rocket_etl_spark.streaming.replay import create_repo_files_table
 
+    if not _CDC_TMP_DIRS:
+        atexit.register(_cdc_cleanup)
     d = tempfile.mkdtemp(prefix=f"rocket-etl-cdc-{tag}-")
+    _CDC_TMP_DIRS.append(d)
     return create_repo_files_table(spark, f"{d}/t", num_buckets=8)
 
 

@@ -84,9 +84,10 @@ def host_calibration() -> dict:
 
     * cpu_eff_8_to_32: cache-resident sha256 burn in 8 vs 32 processes —
       the machine's raw compute-scaling ceiling (1.0 = perfect 4x).
-    * mem_eff_8_to_32: streaming numpy sums over 256 MB/proc — the
-      memory-bandwidth ceiling; on this VM data-touching work has been
-      measured flat past ~8 cores, which this number makes explicit.
+    * mem_eff_8_to_32: streaming numpy sums over 64 MB/proc (2 GB peak at
+      32 procs — deliberately bounded; far beyond L3, so it measures DRAM
+      bandwidth) — on this VM data-touching work has been measured flat
+      past ~8 cores, which this number makes explicit.
     """
     import multiprocessing as mp
     import statistics
@@ -100,7 +101,7 @@ def host_calibration() -> dict:
     out: dict = {}
     for name, fn, arg in (
         ("cpu", _burn_cpu, 1_500_000),
-        ("mem", _stream_mem, 256 * 1024 * 1024),
+        ("mem", _stream_mem, 64 * 1024 * 1024),
     ):
         effs = []
         for _ in range(2):

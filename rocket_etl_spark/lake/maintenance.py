@@ -26,6 +26,7 @@ def compact(
     tombstone_watermark: int | None = None,
     min_files: int = 2,
     buckets: list[int] | None = None,
+    max_retries: int = 5,
 ) -> dict:
     """Rewrite fragmented buckets to one file each; drop droppable
     tombstones.
@@ -44,18 +45,26 @@ def compact(
     bucket's rewrite is one task (repartition by the bucket column), no
     driver data path.
 
-    Concurrency: losing the snapshot CAS to a concurrent writer simply
-    RETRIES from the new tip — compaction's input is recomputed from the
-    snapshot it reads, so no work is ever stale-committed; the orphaned
-    rewrite files of the lost attempt are removed later by age-guarded
-    ``expire_snapshots``.  (Raising here — as an earlier version did —
-    would abort a live ``replay_stream(compact_every=N)`` whenever an
-    epoch commit raced a mid-stream compaction.)
+    Concurrency: losing the snapshot CAS to a concurrent writer RETRIES
+    from the new tip (bounded by ``max_retries``) — compaction's input is
+    recomputed from the snapshot it reads, so no work is ever
+    stale-committed; the orphaned rewrite files of the lost attempt are
+    removed later by age-guarded ``expire_snapshots``.  (Raising on the
+    FIRST loss — as an earlier version did — would abort a live
+    ``replay_stream(compact_every=N)`` whenever an epoch commit raced a
+    mid-stream compaction; retrying forever would livelock, with an
+    orphaned rewrite per attempt, against a stream that commits faster
+    than one rewrite completes — hence the cap.)
     """
-    while True:
+    for _ in range(max_retries + 1):
         res = _compact_once(table, tombstone_watermark, min_files, buckets)
         if res is not None:
             return res
+    raise RuntimeError(
+        f"compaction lost the snapshot CAS {max_retries + 1} times in a row — "
+        "writers are committing faster than the rewrite completes; retry when "
+        "the table quiesces (each lost attempt left an age-guarded orphan dir)"
+    )
 
 
 def _compact_once(
@@ -173,7 +182,7 @@ def table_stats(table: LakeTable) -> dict:
     }
 
 
-def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
+def rebucket(table: LakeTable, new_num_buckets: int, max_retries: int = 5) -> dict:
     """Rewrite the table into ``new_num_buckets`` hash buckets (snapshot-
     committed full rewrite — Iceberg's REPLACE PARTITION FIELD + rewrite).
 
@@ -184,13 +193,17 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     one shuffle, partition-parallel, no driver data path; readers keep
     resolving old snapshots (their num_buckets rides each snapshot).
 
-    Losing the snapshot CAS retries from the new tip (same rationale as
-    ``compact`` — the input is recomputed, the lost attempt's files are
-    age-guarded orphans)."""
-    while True:
+    Losing the snapshot CAS retries from the new tip, bounded (same
+    rationale and livelock cap as ``compact`` — the input is recomputed,
+    the lost attempt's files are age-guarded orphans)."""
+    for _ in range(max_retries + 1):
         res = _rebucket_once(table, new_num_buckets)
         if res is not None:
             return res
+    raise RuntimeError(
+        f"rebucket lost the snapshot CAS {max_retries + 1} times in a row — "
+        "retry when the table quiesces"
+    )
 
 
 def _rebucket_once(table: LakeTable, new_num_buckets: int) -> dict | None:

@@ -548,6 +548,7 @@ def neardup_components(
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     prev_sum = labels.agg(F.sum("comp")).first()[0]
+    converged = False
     for _ in range(max_iter):
         msgs = (
             edges.join(
@@ -563,8 +564,18 @@ def neardup_components(
         )
         cur = labels.agg(F.sum("comp")).first()[0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # silently returning a partial closure would make dedupe_corpus
+        # keep multiple "representatives" of one cluster — fail loudly;
+        # real near-dup clusters are short-diameter, so hitting this means
+        # a pathological chain (raise max_iter deliberately if intended)
+        raise RuntimeError(
+            f"neardup_components did not converge within max_iter={max_iter} "
+            "rounds (cluster diameter exceeds the bound)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
 
 

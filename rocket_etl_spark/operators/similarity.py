@@ -102,7 +102,12 @@ def lsh_band_signatures(
 
     def to_row(v) -> np.ndarray:
         # zero-pad/truncate to the declared dim: a short vector scores its
-        # real dot over the dims it has (a zero vector → all-zero bits)
+        # real dot over the dims it has; NULL behaves like the zero vector
+        # (all-zero bits — the row still buckets, and any pair it reaches
+        # is dropped by the exact-cosine verify's NULL result) instead of
+        # crashing the Python worker
+        if v is None:
+            return np.zeros(dim)
         a = np.asarray(v[:dim], dtype=np.float64)
         return a if len(a) == dim else np.pad(a, (0, dim - len(a)))
 
@@ -137,7 +142,10 @@ def kmeans_centroids(
     rows = (
         df.select(vec_col).sample(False, frac, seed).limit(sample_rows).collect()
     )
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    vecs = [r[0] for r in rows if r[0] is not None]
+    if not vecs:
+        raise ValueError("cannot train an IVF quantizer on an empty/all-NULL corpus")
+    X = np.array(vecs, dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
@@ -162,11 +170,19 @@ def ivf_assign(
 
     C = centroids  # (k, dim), rows unit-norm
 
+    dim = C.shape[1]
+
+    def to_row(v) -> np.ndarray:
+        if v is None:  # NULL vector: assign deterministically, never crash
+            return np.zeros(dim)
+        a = np.asarray(v[:dim], dtype=np.float64)
+        return a if len(a) == dim else np.pad(a, (0, dim - len(a)))
+
     @pandas_udf(IntegerType())
     def assign(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        V = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        V = np.stack(vs.map(to_row).to_numpy())
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
 
@@ -198,12 +214,14 @@ def ivf_ann_topk(
     so its harness entry is rows-only; the pytest gate instead checks
     every returned cosine against the brute-force value and recall
     against exact top-k."""
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None or qrow[0] is None:
+        raise ValueError(f"query_id {query_id!r} not found (or has a NULL {vec_col!r})")
     C = kmeans_centroids(df, vec_col, n_centroids, seed=seed)
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("_list", ivf_assign(C, "_v"))
 
-    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
     q = np.asarray(qrow[0], dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(i) for i in np.argsort(-(C @ qn))[:nprobe]]
