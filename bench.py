@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_embedding",
     "knn_cosine",
+    "knn_ivf",
     "text_quality",
 ]
 

@@ -70,6 +70,27 @@ def test_broadcast_and_smj_merge_agree(spark, tmp_path, seed):
     )
 
 
+def test_byte_gate_falls_back_to_smj_with_identical_results(spark, tmp_path):
+    """SPARK_GRAFT_SLIM_MAX_BYTES: forcing the byte estimate over the
+    bound must route to the SMJ path (no broadcast of a huge key relation)
+    with byte-identical results."""
+    ev = change_events(spark, 3_000, seed=41, delete_frac=0.1)
+    old = M.SLIM_DEDUPE_MAX_BYTES
+    try:
+        M.SLIM_DEDUPE_MAX_BYTES = 0  # every batch 'too wide' to broadcast
+        t_s = create_repo_files_table(spark, tmp_path / "smj", num_buckets=4)
+        replay_batch(t_s, ev, epoch_id=0)
+        state_smj = t_s.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    finally:
+        M.SLIM_DEDUPE_MAX_BYTES = old
+    t_b = create_repo_files_table(spark, tmp_path / "bc", num_buckets=4)
+    replay_batch(t_b, ev, epoch_id=0)
+    state_bc = t_b.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(state_smj, state_bc, check_dtype=False)
+    ora = replay_oracle([ev.toPandas()])
+    pd.testing.assert_frame_equal(state_smj[ora.columns], ora, check_dtype=False)
+
+
 def test_broadcast_merge_tied_order_op_conflict_is_consistent(spark, tmp_path):
     """Duplicate deliveries sharing the winning (key, order) but DIFFERING
     in op: whichever op the tie-break picks, the stored row's _deleted flag
