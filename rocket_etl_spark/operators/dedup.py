@@ -532,10 +532,12 @@ def neardup_components(
     Converges in O(cluster diameter) rounds — near-dup clusters are
     short-diameter in practice (a hub + variants), so typically 2-4
     rounds.  Each round is one edge join + one min-aggregation, both
-    key-partitioned; ``localCheckpoint`` truncates the lineage so the
-    plan stays one round deep (on a cluster with executor churn, set
-    ``spark.sparkContext.setCheckpointDir`` and swap for ``checkpoint`` —
-    same contract, fault-tolerant storage).  Convergence is detected by
+    key-partitioned; a checkpoint truncates the lineage so the plan
+    stays one round deep.  When the session has a reliable checkpoint
+    dir (``spark.sparkContext.setCheckpointDir``) it is used
+    automatically — executor loss then cannot lose a round; otherwise
+    ``localCheckpoint`` (executor-resident, fine for local mode and
+    short jobs).  Convergence is detected by
     the global label sum, which strictly decreases until fixpoint (labels
     are per-node monotone non-increasing) — one cheap aggregate per
     round, no driver-side data.
@@ -543,6 +545,12 @@ def neardup_components(
     Docs in no pair keep their own id (singleton components), so the
     output is a total map over ``df`` and the keep-list is exactly
     ``component_id``'s distinct values."""
+    sc = df.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def barrier(d: DataFrame) -> DataFrame:
+        return d.checkpoint(eager=True) if reliable else d.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).unionByName(
         pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
     )
@@ -557,10 +565,9 @@ def neardup_components(
             .groupBy("d")
             .agg(F.min("_nc").alias("_nc"))
         )
-        labels = (
+        labels = barrier(
             labels.join(msgs, labels.id == msgs.d, "left")
             .select("id", F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"))
-            .localCheckpoint(eager=True)
         )
         cur = labels.agg(F.sum("comp")).first()[0]
         if cur == prev_sum:
@@ -594,6 +601,35 @@ def dedupe_corpus(
     comps = neardup_components(df, pairs, id_col, id_a, id_b)
     keep = comps.filter(F.col(id_col) == F.col("component_id")).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def dedupe_cascade(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.85,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """One-call corpus dedupe — the full cascade as a user would run it:
+
+    1. exact: collapse byte-identical texts (cheapest, removes the bulk);
+    2. near-dup candidates: banded MinHash LSH over the survivors,
+       exact-Jaccard verified at ``threshold``;
+    3. decision: connected components over the verified pairs, keep the
+       min-id representative per cluster.
+
+    Returns the deduplicated corpus with the input's columns.  Each stage
+    only ever shuffles what it needs: hashes for (1), sketches for (2),
+    (id, label) rows for (3) — document payloads move only in stage 1's
+    representative pick and the final semi-join."""
+    survivors = exact_dedup(df, text_col=text_col, order_col=id_col)
+    pairs = minhash_lsh_pairs(
+        survivors, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
+    )
+    return dedupe_corpus(survivors, pairs, id_col=id_col)
 
 
 # ----------------------------------------------------- embedding cosine

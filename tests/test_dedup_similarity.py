@@ -89,6 +89,24 @@ def test_ivf_ann_exact_cosines_and_recall(spark):
     assert list(again.vec_id) == list(approx.vec_id)
 
 
+def test_dedupe_cascade_end_to_end(spark):
+    """exact dupes AND transitive near-dups collapse; unrelated docs
+    survive; output carries the input columns."""
+    from rocket_etl_spark.operators.dedup import dedupe_cascade
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                                   # exact dup of 1
+        (3, base.replace("today", "tomorrow"), "en"),      # near dup of 1
+        (4, "completely different text about spark engines and parquet files", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kept = dedupe_cascade(df, threshold=0.5, n=2).toPandas()
+    assert sorted(kept.columns) == ["doc_id", "lang", "text"]
+    assert sorted(kept.doc_id) == [1, 4]
+
+
 def test_simhash_pigeonhole_recall_guarantee(spark):
     """EXACT recall bound: with 6 segments and 2-segment table keys, any
     pair within hamming 6-2=4 MUST be a candidate (k flipped bits touch
