@@ -689,6 +689,46 @@ def _cdc_lineage(spark, sf):
     )
 
 
+def _cdc_append(spark, sf):
+    """TRUE append (the reference's upload_method='insert'): two
+    append_batch epochs, NO dedupe — every delivery (including deletes,
+    appended as plain rows) survives; the oracle is simply the whole
+    transformed stream."""
+    from rocket_etl_spark.lake.merge import append_batch
+    from rocket_etl_spark.streaming.replay import prepare_events
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "append")
+    append_batch(table, prepare_events(ev.filter(F.col("event_seq") <= thr)), epoch_id=0)
+    append_batch(table, prepare_events(ev.filter(F.col("event_seq") > thr)), epoch_id=1)
+    return table.read().select(*_CDC_STATE_COLS)
+
+
+def _cdc_wipe_refresh(spark, sf):
+    """Wipe/full-refresh (the reference's always_wipe_data) through the
+    jobspec load layer: replay the first half, then an overwrite load of
+    the second half — final state is the LWW of the second half ONLY."""
+    from rocket_etl_spark.plans.jobspec import DestSpec, JobSpec, SourceSpec
+    from rocket_etl_spark.plans.jobspec import load as js_load
+    from rocket_etl_spark.streaming.replay import prepare_events, replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "wipe")
+    replay_batch(table, ev.filter(F.col("event_seq") <= thr), epoch_id=0)
+    spec = JobSpec(
+        name="wipe-refresh",
+        source=SourceSpec("parquet", "unused-direct-df"),
+        dest=DestSpec(
+            mode="overwrite", path=str(table.path),
+            key_cols=("repo", "path"), order_col="last_event_seq",
+        ),
+    )
+    js_load(prepare_events(ev.filter(F.col("event_seq") > thr)), spec)
+    return table.read().select(*_CDC_STATE_COLS)
+
+
 def _cdc_evolution_e2e(spark, sf):
     """Schema evolution through the REAL engine, oracle-checked: epoch 0
     ships the v1 schema, epoch 1 adds ``size_bytes:int``, epoch 2 renames
@@ -781,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_evolution_e2e": _cdc_evolution_e2e,
         "cdc_time_travel": _cdc_time_travel,
         "cdc_lineage": _cdc_lineage,
+        "cdc_append": _cdc_append,
+        "cdc_wipe_refresh": _cdc_wipe_refresh,
     }
 
 
@@ -1229,6 +1271,23 @@ def oracle_sql() -> dict[str, str]:
             "WHEN live1.repo IS NOT NULL THEN 'update' ELSE 'insert' END AS change_type "
             "FROM w2 LEFT JOIN live1 ON live1.repo = w2.repo AND live1.path = w2.path "
             "WHERE NOT (w2.op = 'delete' AND live1.repo IS NULL)"
+        ),
+        "cdc_append": (
+            # append keeps EVERY delivery (deletes ride along as rows)
+            f"WITH ev AS ({_CDC_EV_SQL}) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq FROM ev"
+        ),
+        "cdc_wipe_refresh": (
+            # wipe erases epoch 0 entirely: state = LWW over the 2nd half
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "thr AS (SELECT max(event_seq) // 2 AS t FROM ev), "
+            "w AS (SELECT * FROM (SELECT e.*, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn "
+            "FROM ev e, thr WHERE event_seq > t) WHERE rn = 1) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq "
+            "FROM w WHERE op <> 'delete'"
         ),
         "cdc_time_travel": (
             # state AS OF the post-epoch-0 snapshot == LWW over the first
