@@ -689,6 +689,38 @@ def _cdc_lineage(spark, sf):
     )
 
 
+def _cdc_stream_e2e(spark, sf):
+    """The STRUCTURED STREAMING path on the board: stage the synthesized
+    events as two files, tail them with the real file-source stream
+    (maxFilesPerTrigger=1 → two checkpointed micro-batch epochs through
+    foreachBatch + the epoch-fenced MERGE), then read the converged
+    state.  Same oracle as the batch replay — the transport must not
+    change the answer."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    from rocket_etl_spark.streaming.replay import replay_stream
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "stream")
+    work = tempfile.mkdtemp(prefix="rocket-etl-cdc-streamsrc-")
+    _CDC_TMP_DIRS.append(work)
+    (pathlib.Path(work) / "events").mkdir()
+    for i, pred in enumerate(
+        (F.col("event_seq") <= thr, F.col("event_seq") > thr)
+    ):
+        out = f"{work}/stage{i}"
+        ev.filter(pred).coalesce(1).write.parquet(out)
+        part = next(pathlib.Path(out).glob("part-*.parquet"))
+        shutil.move(str(part), f"{work}/events/b{i}.parquet")
+    replay_stream(
+        spark, table, f"{work}/events", f"{work}/ckpt", max_files_per_trigger=1
+    )
+    return table.read().select(*_CDC_STATE_COLS)
+
+
 def _cdc_append(spark, sf):
     """TRUE append (the reference's upload_method='insert'): two
     append_batch epochs, NO dedupe — every delivery (including deletes,
@@ -823,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lineage": _cdc_lineage,
         "cdc_append": _cdc_append,
         "cdc_wipe_refresh": _cdc_wipe_refresh,
+        "cdc_stream_e2e": _cdc_stream_e2e,
     }
 
 
@@ -1271,6 +1304,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN live1.repo IS NOT NULL THEN 'update' ELSE 'insert' END AS change_type "
             "FROM w2 LEFT JOIN live1 ON live1.repo = w2.repo AND live1.path = w2.path "
             "WHERE NOT (w2.op = 'delete' AND live1.repo IS NULL)"
+        ),
+        # same LWW oracle as the batch replay: the streaming transport
+        # (file tail + checkpoint + per-epoch fence) must not change it
+        "cdc_stream_e2e": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq "
+            "FROM w WHERE rn = 1 AND op <> 'delete'"
         ),
         "cdc_append": (
             # append keeps EVERY delivery (deletes ride along as rows)
