@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod  # noqa: E402
 from rocket_etl_spark.generate import change_events  # noqa: E402
 from rocket_etl_spark.session import build_session  # noqa: E402
-from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_batch  # noqa: E402
+from rocket_etl_spark.streaming.replay import (  # noqa: E402
+    create_repo_files_table,
+    replay_batch,
+    replay_stream,
+)
 
 HEADLINE = [
     "join_inner",
@@ -192,6 +196,22 @@ def main() -> None:
     timings["cdc_replay"] = round(replay_sec, 3)
     timings["cdc_replay_incremental"] = round(sorted(incr_trials)[1], 3)
 
+    # streaming-mode replay: the SAME events through the real file-source
+    # tail (two checkpointed micro-batch epochs via foreachBatch) — the
+    # north metric's actual transport, measured with its checkpoint and
+    # epoch-fence overhead included
+    import glob as _glob
+
+    n_files = len(_glob.glob(f"{in_dir}/part-*.parquet"))
+    stable = create_repo_files_table(spark, f"{lake_dir}/stream", num_buckets=2 * cpus)
+    t0 = time.monotonic()
+    replay_stream(
+        spark, stable, in_dir, f"{lake_dir}/stream-ckpt",
+        max_files_per_trigger=max(1, (n_files + 1) // 2),
+    )
+    stream_sec = time.monotonic() - t0
+    timings["cdc_replay_stream"] = round(stream_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -204,6 +224,7 @@ def main() -> None:
                 "extra": {
                     "replay_events": n_events,
                     "replay_events_per_sec": round(n_events / replay_sec),
+                    "stream_events_per_sec": round(n_events / stream_sec),
                     "cores": cpus,
                     "replay_trials_sec": [round(t, 3) for t in replay_trials],
                     "incremental_trials_sec": [round(t, 3) for t in incr_trials],
