@@ -220,6 +220,21 @@ def _merge_smj(
     )
 
 
+def _rel_paths(table_path, fnames) -> set[str]:
+    """input_file_name() URIs → snapshot-relative posix paths."""
+    from pathlib import Path
+    from urllib.parse import unquote, urlparse
+
+    root = Path(table_path).resolve()
+    out = set()
+    for n in fnames:
+        if not n:  # rows from in-memory relations carry no file name
+            continue
+        p = urlparse(n).path if "://" in n else n
+        out.add(Path(unquote(p)).resolve().relative_to(root).as_posix())
+    return out
+
+
 def _merge_broadcast(
     batch: DataFrame,
     current: DataFrame,
@@ -229,7 +244,8 @@ def _merge_broadcast(
     nb: int,
     derived_cols: dict,
     dedupe_guard: bool = True,
-) -> list[tuple[DataFrame, bool]]:
+    read_matched=None,
+) -> tuple[list[tuple[DataFrame, bool]], set | None]:
     """Broadcast MERGE — neither losing batch rows nor the table's wide
     rows ever shuffle; LWW dedupe and MERGE fuse into one decision.
 
@@ -254,7 +270,16 @@ def _merge_broadcast(
        shuffle of ONLY changed rows for tight files;
     5. keep rows: current LEFT ANTI broadcast(win) — a map-side filter:
        each scan task streams its bucket's survivors straight back to
-       parquet, payload untouched by any exchange.
+       parquet, payload untouched by any exchange.  With ``read_matched``
+       (the default from ``merge_batch``), the keep side reads ONLY the
+       files that actually contain a winning key: the action join's
+       t-side carries ``input_file_name()``, the matched-file set is
+       collected (bounded by the touched buckets' file count), unmatched
+       files are RE-LINKED into the new snapshot untouched — Iceberg/
+       Delta COW at file granularity, which is what keeps per-epoch
+       rewrite cost proportional to the keys an epoch actually hits
+       instead of to every file of every touched bucket (the difference
+       between O(epoch) and O(table) for a small streaming epoch).
 
     Same (row, _action, _deleted) output as lww_dedupe + ``_merge_smj`` —
     equivalence pytest-checked on random multi-epoch replays.  Null-safe
@@ -281,6 +306,8 @@ def _merge_broadcast(
         F.col(order_col).alias("_t_ord"),
         F.coalesce(F.col("_deleted"), F.lit(False)).alias("_t_del"),
         F.lit(True).alias("_t_present"),  # null after the outer join = no t row
+        # which physical file holds this row — drives matched-file pruning
+        F.input_file_name().alias("_t_fname"),
     )
     for k in keys:
         t_slim = t_slim.withColumnRenamed(k, f"_t_{k}")
@@ -337,12 +364,26 @@ def _merge_broadcast(
         "_action",
     ).withColumn("_bucket", bucket_of(keys, nb))
 
+    matched_rel = None
+    keeps_src = current
+    if read_matched is not None:
+        # files holding at least one WINNING key — every other file's rows
+        # are untouched by this merge and the file is re-linked, not read
+        names = [
+            r["_t_fname"]
+            for r in act.filter(F.col("_t_present").isNotNull() & s_wins)
+            .select("_t_fname")
+            .distinct()
+            .collect()
+        ]
+        matched_rel, keeps_src = read_matched(names)
+
     cond_k = None
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"_w_{k}"))
         cond_k = c if cond_k is None else cond_k & c
     keeps = (
-        current.join(F.broadcast(win.select(*[f"_w_{k}" for k in keys])), cond_k, "left_anti")
+        keeps_src.join(F.broadcast(win.select(*[f"_w_{k}" for k in keys])), cond_k, "left_anti")
         .select(
             *keys,
             *[F.col(c) for c in vals],
@@ -351,7 +392,7 @@ def _merge_broadcast(
         )
         .withColumn("_bucket", bucket_of(keys, nb))
     )
-    return [(changed, True), (keeps, False)]
+    return [(changed, True), (keeps, False)], matched_rel
 
 
 def merge_batch(
@@ -471,14 +512,23 @@ def _merge_once(
     out_files: dict[int, list[dict]] = {}
     stat_map: dict[str, int] = {}
     bucket_actions: dict[int, dict[str, int]] = {}
+    # broadcast path: old file entries NOT containing any winning key are
+    # re-linked into the new snapshot instead of being read + rewritten
+    retained: dict[str, list[dict]] = {}
     if touched:
-        # tombstones included: a newer delete must outrank a stale upsert
-        current = table.read(buckets=touched, include_tombstones=True)
-        if new_schema is not None:
-            cur_schema = TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
-            from rocket_etl_spark.schema.registry import project_to
+        from rocket_etl_spark.schema.registry import project_to
 
-            current = project_to(current, cur_schema, schema, passthrough=("_deleted",))
+        cur_schema = TableSchema.from_json(
+            snap["schemas"][str(snap["current_schema_version"])]
+        )
+
+        def _project(df: DataFrame) -> DataFrame:
+            if new_schema is None:
+                return df
+            return project_to(df, cur_schema, schema, passthrough=("_deleted",))
+
+        # tombstones included: a newer delete must outrank a stale upsert
+        current = _project(table.read(buckets=touched, include_tombstones=True))
 
         vals = [c for c in schema.names() if c not in keys]
         # _action is written into the data files (tiny, dictionary-encoded)
@@ -489,12 +539,28 @@ def _merge_once(
             0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS
             and est_broadcast_bytes <= SLIM_DEDUPE_MAX_BYTES
         ):
+            def read_matched(fnames):
+                rel = _rel_paths(table.path, fnames)
+                keeps_src = _project(
+                    table.read(
+                        buckets=touched, include_tombstones=True, file_subset=rel
+                    )
+                )
+                return rel, keeps_src
+
             # fused dedupe+MERGE: no payload ever shuffles except the
             # changed rows' final bucket placement
-            outputs = _merge_broadcast(
+            outputs, matched_rel = _merge_broadcast(
                 batch, current, keys, order_col, vals, nb, derived_cols,
-                dedupe_guard=dup_deliveries,
+                dedupe_guard=dup_deliveries, read_matched=read_matched,
             )
+            if matched_rel is not None:
+                for b in touched:
+                    retained[str(b)] = [
+                        fe
+                        for fe in snap["buckets"].get(str(b), [])
+                        if fe["path"] not in matched_rel
+                    ]
         else:
             # key set exceeds the broadcast bound → slim forms unavailable;
             # plain one-shuffle max_by dedupe feeding the full-outer SMJ
@@ -551,7 +617,9 @@ def _merge_once(
     while True:
         new_buckets = dict(base["buckets"])
         for b in touched:
-            new_buckets[str(b)] = out_files.get(b, [])
+            # freshly written files + (broadcast path) re-linked unmatched
+            # files; the SMJ path rewrites whole buckets, retained is empty
+            new_buckets[str(b)] = out_files.get(b, []) + retained.get(str(b), [])
         schemas = dict(base["schemas"])
         schemas[str(schema.version)] = schema.to_json()
         fences = table.fences(base)

@@ -219,9 +219,12 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         snapshot_id: int | None = None,
         include_tombstones: bool = False,
+        file_subset: set[str] | None = None,
     ) -> DataFrame:
         """Current table state, optionally restricted to some buckets
         (file-level pruning — only those buckets' parquet files are read).
+        ``file_subset`` (relative paths) restricts further to specific
+        files within those buckets — the MERGE's matched-file pruning.
 
         Files are read under their write-time schema and projected to the
         current schema by field id (null-backfill adds, re-alias renames,
@@ -241,6 +244,8 @@ class LakeTable:
             if buckets is not None and int(b) not in set(buckets):
                 continue
             for fe in files:
+                if file_subset is not None and fe["path"] not in file_subset:
+                    continue
                 by_sv.setdefault(fe["sv"], []).append(str(self.path / fe["path"]))
         parts: list[DataFrame] = []
         for sv, paths in sorted(by_sv.items()):

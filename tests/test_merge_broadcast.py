@@ -70,6 +70,46 @@ def test_broadcast_and_smj_merge_agree(spark, tmp_path, seed):
     )
 
 
+def test_small_epoch_relinks_unmatched_files(spark, tmp_path):
+    """Matched-file pruning: an epoch touching ONE key must rewrite only
+    the file(s) containing that key — every other file is re-linked into
+    the new snapshot byte-identical (same path entries), and the state
+    still equals the sequential oracle."""
+    import pyspark.sql.functions as F
+
+    ev = change_events(spark, 4_000, seed=53, delete_frac=0.0)
+    # two epochs with DISJOINT key sets -> each bucket holds files from
+    # both epochs, so a point update can only match one of them
+    e1 = ev.filter(F.col("event_seq") % 2 == 0)
+    e2 = ev.filter(F.col("event_seq") % 2 == 1)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(t, e1, epoch_id=0)
+    replay_batch(t, e2, epoch_id=1)
+    snap2 = t.current_snapshot()
+    old = {fe["path"] for fl in snap2["buckets"].values() for fe in fl}
+
+    row = e2.orderBy("event_seq").first()
+    mx = ev.agg(F.max("event_seq")).first()[0]
+    upd = spark.createDataFrame(
+        [(mx + 1, "upsert", row["repo"], row["path"], "cnew", "py", "new content")],
+        "event_seq long, op string, repo string, path string, "
+        "commit string, lang string, content string",
+    ).withColumn("event_ts", (56789 + F.col("event_seq")).cast("timestamp"))
+    replay_batch(t, upd, epoch_id=2)
+
+    snap3 = t.current_snapshot()
+    new = {fe["path"] for fl in snap3["buckets"].values() for fe in fl}
+    rewritten = old - new
+    # only the file(s) holding the updated key were rewritten; with
+    # disjoint epoch key sets that is exactly one file
+    assert len(rewritten) == 1, rewritten
+    assert (old - rewritten) <= new  # everything else re-linked verbatim
+
+    eng = t.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ora = replay_oracle([e1.toPandas(), e2.toPandas(), upd.toPandas()])
+    pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+
+
 def test_byte_gate_falls_back_to_smj_with_identical_results(spark, tmp_path):
     """SPARK_GRAFT_SLIM_MAX_BYTES: forcing the byte estimate over the
     bound must route to the SMJ path (no broadcast of a huge key relation)
