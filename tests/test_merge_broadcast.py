@@ -100,9 +100,10 @@ def test_small_epoch_relinks_unmatched_files(spark, tmp_path):
     snap3 = t.current_snapshot()
     new = {fe["path"] for fl in snap3["buckets"].values() for fe in fl}
     rewritten = old - new
-    # only the file(s) holding the updated key were rewritten; with
-    # disjoint epoch key sets that is exactly one file
-    assert len(rewritten) == 1, rewritten
+    # only the file(s) holding the updated key were rewritten: one file,
+    # or two if the generator happened to emit the same (repo, path) in
+    # both epochs (event_seq parity does not make KEYS disjoint)
+    assert 1 <= len(rewritten) <= 2, rewritten
     assert (old - rewritten) <= new  # everything else re-linked verbatim
 
     eng = t.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
