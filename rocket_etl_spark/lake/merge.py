@@ -245,6 +245,7 @@ def _merge_broadcast(
     derived_cols: dict,
     dedupe_guard: bool = True,
     read_matched=None,
+    cache_registry: list | None = None,
 ) -> tuple[list[tuple[DataFrame, bool]], set | None]:
     """Broadcast MERGE — neither losing batch rows nor the table's wide
     rows ever shuffle; LWW dedupe and MERGE fuse into one decision.
@@ -316,6 +317,13 @@ def _merge_broadcast(
         c = F.col(k).eqNullSafe(F.col(f"_t_{k}"))
         cond = c if cond is None else cond & c
     act = winners.join(t_slim, cond, "left_outer")
+    if read_matched is not None and cache_registry is not None:
+        # the matched-file collect materializes act anyway; caching the
+        # SLIM relation (keys + ords + flags + file name) lets the win
+        # broadcasts reuse it instead of re-running the winner aggregation
+        # + table-key join — the whole decision computes exactly once
+        act = act.persist()
+        cache_registry.append(act)
 
     no_t = F.col("_t_present").isNull()
     s_wins = no_t | (F.col("_s_ord") > F.col("_t_ord"))
@@ -515,6 +523,7 @@ def _merge_once(
     # broadcast path: old file entries NOT containing any winning key are
     # re-linked into the new snapshot instead of being read + rewritten
     retained: dict[str, list[dict]] = {}
+    caches: list = []
     if touched:
         from rocket_etl_spark.schema.registry import project_to
 
@@ -553,6 +562,7 @@ def _merge_once(
             outputs, matched_rel = _merge_broadcast(
                 batch, current, keys, order_col, vals, nb, derived_cols,
                 dedupe_guard=dup_deliveries, read_matched=read_matched,
+                cache_registry=caches,
             )
             if matched_rel is not None:
                 for b in touched:
@@ -590,6 +600,9 @@ def _merge_once(
                 if p.name.endswith(".parquet")
             ]
             out_files[b] = [{"path": p, "sv": schema.version} for p in files]
+
+        for c in caches:  # writes done — release the cached slim decision
+            c.unpersist()
 
         if out_files:
             bucket_actions = _action_counts(spark, out_dir, out_files)
