@@ -50,6 +50,29 @@ def _multiset(pdf):
     return sorted(tuple(_canon(v) for v in row) for row in pdf[cols].itertuples(index=False))
 
 
+def _dtype_class(dt) -> str:
+    """Coarse dtype family — the driver's value hash distinguishes int 0
+    from float 0.0, which `_canon` deliberately collapses, so the mirror
+    must ALSO compare families or it under-reports (the round-2
+    math_funcs/text_token_stats reds passed this mirror)."""
+    s = str(dt)
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    if "bool" in s:
+        return "bool"
+    return "obj"
+
+
+def _dtype_mismatch(sdf, odf) -> list[str]:
+    return [
+        f"{c}: spark={sdf[c].dtype} duck={odf[c].dtype}"
+        for c in sdf.columns
+        if _dtype_class(sdf[c].dtype) != _dtype_class(odf[c].dtype)
+    ]
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -86,6 +109,11 @@ def main():
         if len(sdf) != len(odf):
             failures.append((name, f"rows {len(sdf)} != {len(odf)}"))
             print(f"[FAIL-rows] {name}: spark={len(sdf)} duck={len(odf)}")
+            continue
+        dtm = _dtype_mismatch(sdf, odf)
+        if dtm:
+            failures.append((name, f"dtype family mismatch: {dtm}"))
+            print(f"[FAIL-dtype] {name}: {dtm}")
             continue
         ms, mo = _multiset(sdf), _multiset(odf)
         if ms != mo:
