@@ -13,13 +13,14 @@ support, equivalent to:
 
 Execution shape (scale rationale inline):
 
-1. plan: the touched-bucket set is a pure function of the batch KEYS, so
-   it is collected from a column-pruned scan of the source (reads only
-   the key columns from parquet) — the moral equivalent of Iceberg
-   manifest pruning, and it means the full batch is consumed exactly
-   once, by step 3: no persist/cache, no restage, minimal GC pressure;
-2. input stats (rows_in, seq min/max) ride the SAME planning pass (one
-   aggregation over keys+order, ≤ num_buckets rows to the driver);
+1. plan: the LWW winner aggregation over (keys, order, op) IS the
+   planning pass — it yields the per-key winning order/op (the broadcast
+   MERGE's decision input, cached slim for the commit's duration) and
+   every planning stat in one column-pruned scan of the batch;
+2. the touched-bucket set, input stats (rows_in, seq min/max), EXACT
+   key cardinality, key bytes, and duplicate-delivery detection reduce
+   from the winner relation in a second (tiny, one-row-per-key input)
+   aggregation — ≤ num_buckets rows reach the driver;
 3. one pipeline, two physical strategies chosen from the planning pass's
    key-cardinality estimate: the **broadcast MERGE** (``_merge_broadcast``,
    when the batch key set fits a broadcast) fuses LWW dedupe and MERGE
@@ -246,6 +247,7 @@ def _merge_broadcast(
     dedupe_guard: bool = True,
     read_matched=None,
     cache_registry: list | None = None,
+    winners: DataFrame | None = None,
 ) -> tuple[list[tuple[DataFrame, bool]], set | None]:
     """Broadcast MERGE — neither losing batch rows nor the table's wide
     rows ever shuffle; LWW dedupe and MERGE fuse into one decision.
@@ -298,10 +300,11 @@ def _merge_broadcast(
     this split is exactly why Iceberg/Delta MERGE rewrites only matched
     files instead of shuffling the table.
     """
-    winners = batch.groupBy(*keys).agg(
-        F.max(order_col).alias("_s_ord"),
-        F.max_by(F.col("op") == "delete", F.col(order_col)).alias("_s_del"),
-    )
+    if winners is None:
+        winners = batch.groupBy(*keys).agg(
+            F.max(order_col).alias("_s_ord"),
+            F.max_by(F.col("op") == "delete", F.col(order_col)).alias("_s_del"),
+        )
     t_slim = current.select(
         *keys,
         F.col(order_col).alias("_t_ord"),
@@ -467,42 +470,47 @@ def _merge_once(
 
     commit_tag = f"{snap['snapshot_id'] + 1:08d}-{uuid.uuid4().hex[:8]}"
 
-    # 1+2. plan touched buckets AND input stats in ONE column-pruned pass
-    # over (keys, order) only — bucket id is key-deterministic, so dedupe
-    # cannot change the touched set.  ≤ num_buckets rows reach the driver.
+    # 1+2. planning IS the LWW winner aggregation: ONE column-pruned pass
+    # over (keys, order, op) computes, per key, the winning order + op
+    # (the broadcast MERGE's decision input, cached and reused) AND the
+    # planning stats — row counts, seq ranges, key bytes, duplicate-
+    # delivery detection — which then reduce per bucket in a second agg
+    # over the (already tiny) one-row-per-key relation.  Bucket id is
+    # key-deterministic, so dedupe cannot change the touched set; ≤
+    # num_buckets rows reach the driver, and the batch's key columns are
+    # scanned exactly once for the whole plan+decide phase.
     # (Deliberately no DataFrame.observe anywhere: observed metrics never
     # resolve inside a streaming foreachBatch — Observation.get blocks.)
+    key_bytes_col = sum(
+        (F.coalesce(F.octet_length(F.col(k).cast("string")), F.lit(4)) for k in keys),
+        F.lit(0),
+    )
+    winners_slim = batch.groupBy(*keys).agg(
+        F.max(order_col).alias("_s_ord"),
+        F.max_by(F.col("op") == "delete", F.col(order_col)).alias("_s_del"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(order_col).alias("_lo"),
+        # EXACT distinct orders per key: Σ equals the distinct (key, order)
+        # pair count — when that equals the row count the batch provably
+        # has no duplicate deliveries and the post-pick dedupe guard is
+        # skipped.  Exact on purpose: an approximation could skip wrongly.
+        F.count_distinct(F.col(order_col)).alias("_nords"),
+        # key BYTES (same pass): sizes the broadcast hash relation — the
+        # key-count gate alone misjudges wide string keys
+        F.sum(key_bytes_col).alias("_kb"),
+    ).persist()
+    caches: list = [winners_slim]
     plan_rows = (
-        batch.groupBy(bucket_of(keys, nb).alias("_bucket"))
+        winners_slim.groupBy(bucket_of(keys, nb).alias("_bucket"))
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(order_col).alias("lo"),
-            F.max(order_col).alias("hi"),
-            # HLL key-cardinality estimate, used to pick the dedupe
-            # strategy; buckets partition the key space, so the per-bucket
-            # sum is the batch total
-            F.approx_count_distinct(F.struct(*[F.col(k) for k in keys])).alias("dk"),
-            # key BYTES (same pass, same pruned columns): sizes the
-            # broadcast hash relation — the count gate alone misjudges
-            # wide string keys
-            F.sum(
-                sum(
-                    (
-                        F.coalesce(F.octet_length(F.col(k).cast("string")), F.lit(4))
-                        for k in keys
-                    ),
-                    F.lit(0),
-                )
-            ).alias("kb"),
-            # EXACT distinct (key, order) pairs: when it equals the row
-            # count, the batch provably has no duplicate deliveries of any
-            # (key, order) pair, and the broadcast path can skip its
-            # post-pick dedupe guard — a full payload shuffle+aggregation
-            # saved on the (typical) duplicate-free epoch.  Exact on
-            # purpose: an approximate count could skip the guard wrongly.
-            F.count_distinct(
-                F.struct(*[F.col(k) for k in keys], F.col(order_col))
-            ).alias("ndp"),
+            F.sum("_cnt").alias("n"),
+            F.min("_lo").alias("lo"),
+            F.max("_s_ord").alias("hi"),
+            # EXACT per-bucket key cardinality (one row per key reaches
+            # this agg — no HLL needed)
+            F.count(F.lit(1)).alias("dk"),
+            F.sum("_kb").alias("kb"),
+            F.sum("_nords").alias("ndp"),
         )
         .collect()
     )
@@ -523,7 +531,6 @@ def _merge_once(
     # broadcast path: old file entries NOT containing any winning key are
     # re-linked into the new snapshot instead of being read + rewritten
     retained: dict[str, list[dict]] = {}
-    caches: list = []
     if touched:
         from rocket_etl_spark.schema.registry import project_to
 
@@ -563,6 +570,7 @@ def _merge_once(
                 batch, current, keys, order_col, vals, nb, derived_cols,
                 dedupe_guard=dup_deliveries, read_matched=read_matched,
                 cache_registry=caches,
+                winners=winners_slim.select(*keys, "_s_ord", "_s_del"),
             )
             if matched_rel is not None:
                 for b in touched:
@@ -601,14 +609,14 @@ def _merge_once(
             ]
             out_files[b] = [{"path": p, "sv": schema.version} for p in files]
 
-        for c in caches:  # writes done — release the cached slim decision
-            c.unpersist()
-
         if out_files:
             bucket_actions = _action_counts(spark, out_dir, out_files)
             for counts in bucket_actions.values():
                 for a, n in counts.items():
                     stat_map[a] = stat_map.get(a, 0) + n
+
+    for c in caches:  # plan+writes done — release the cached slim decision
+        c.unpersist()
 
     bucket_stats = [
         {
