@@ -72,6 +72,29 @@ def merge_sql(
     )
 
 
+KEYS_PROP = "rocket_etl.key_cols"
+ORDER_PROP = "rocket_etl.order_col"
+
+
+def create_table_sql(
+    table: str,
+    cols_ddl: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    num_buckets: int = 64,
+) -> str:
+    """CREATE TABLE statement with the MERGE metadata persisted as table
+    properties — the attach-to-existing path (``IcebergBackend`` built
+    against a table created by an earlier job/process) reads key/order
+    back from these instead of requiring ``create()`` in-process."""
+    return (
+        f"CREATE TABLE {table} ({cols_ddl}) USING iceberg "
+        f"PARTITIONED BY (bucket({num_buckets}, {key_cols[0]})) "
+        f"TBLPROPERTIES ('{KEYS_PROP}'='{','.join(key_cols)}', "
+        f"'{ORDER_PROP}'='{order_col}')"
+    )
+
+
 class IcebergBackend:
     """Same contract as (LakeTable, merge_batch) over a real Iceberg catalog.
 
@@ -87,9 +110,22 @@ class IcebergBackend:
     partition.  The local backend is stricter (tombstones).
     """
 
-    def __init__(self, spark: SparkSession, table: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_cols: Sequence[str] | None = None,
+        order_col: str | None = None,
+    ):
+        """Attach to ``table``.  MERGE metadata (key columns, ordering
+        column) comes from, in precedence order: the ctor args, a prior
+        ``create()`` in this process, or the table's persisted
+        ``rocket_etl.*`` TBLPROPERTIES (the normal production case:
+        attaching to a table some earlier job created)."""
         self.spark = spark
         self.table = table
+        self._keys: list[str] | None = list(key_cols) if key_cols else None
+        self._order: str | None = order_col
         self._probe()
 
     def _probe(self) -> None:
@@ -102,13 +138,28 @@ class IcebergBackend:
                 "sandbox — use the local lake backend)"
             ) from e
 
+    def _resolve_meta(self) -> None:
+        """Load key/order from the table's TBLPROPERTIES when neither the
+        ctor nor a prior in-process ``create()`` supplied them."""
+        if self._keys is not None and self._order is not None:
+            return
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        if KEYS_PROP not in props or ORDER_PROP not in props:
+            raise ValueError(
+                f"{self.table} carries no {KEYS_PROP}/{ORDER_PROP} table "
+                "properties (created outside this engine?) — pass "
+                "key_cols=/order_col= to IcebergBackend(...)"
+            )
+        if self._keys is None:
+            self._keys = props[KEYS_PROP].split(",")
+        if self._order is None:
+            self._order = props[ORDER_PROP]
+
     # pragma: no cover start - cluster-only paths
     def create(self, schema: TableSchema, key_cols, order_col, num_buckets=64) -> None:
         cols = ", ".join(f"{f.name} {f.dtype}" for f in schema.fields)
-        self.spark.sql(
-            f"CREATE TABLE {self.table} ({cols}) USING iceberg "
-            f"PARTITIONED BY (bucket({num_buckets}, {key_cols[0]}))"
-        )
+        self.spark.sql(create_table_sql(self.table, cols, key_cols, order_col, num_buckets))
         self.spark.sql(f"CREATE TABLE {self.table}_epochs (epoch_id BIGINT) USING iceberg")
         self._keys, self._order = list(key_cols), order_col
 
@@ -122,6 +173,7 @@ class IcebergBackend:
         return self.spark.sql(point_sql).first() is not None
 
     def merge(self, batch: DataFrame, epoch_id: int | None = None):
+        self._resolve_meta()
         if epoch_id is not None and self.is_epoch_committed(epoch_id):
             return None
         view = f"_merge_src_{abs(hash((self.table, epoch_id))) % 10**8}"

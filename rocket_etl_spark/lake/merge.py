@@ -222,7 +222,13 @@ def _merge_smj(
 
 
 def _rel_paths(table_path, fnames) -> set[str]:
-    """input_file_name() URIs → snapshot-relative posix paths."""
+    """input_file_name() URIs → snapshot-relative posix paths.
+
+    Returns ``None`` when any name cannot be resolved under the table
+    root (non-local scheme, symlinked mount, foreign path) — the caller
+    then degrades to the always-correct full-touched-bucket rewrite
+    (``file_subset=None`` + no file re-linking) instead of aborting the
+    merge on a path-layout assumption."""
     from pathlib import Path
     from urllib.parse import unquote, urlparse
 
@@ -232,7 +238,10 @@ def _rel_paths(table_path, fnames) -> set[str]:
         if not n:  # rows from in-memory relations carry no file name
             continue
         p = urlparse(n).path if "://" in n else n
-        out.add(Path(unquote(p)).resolve().relative_to(root).as_posix())
+        try:
+            out.add(Path(unquote(p)).resolve().relative_to(root).as_posix())
+        except ValueError:
+            return None
     return out
 
 

@@ -537,10 +537,12 @@ def neardup_components(
     dir (``spark.sparkContext.setCheckpointDir``) it is used
     automatically — executor loss then cannot lose a round; otherwise
     ``localCheckpoint`` (executor-resident, fine for local mode and
-    short jobs).  Convergence is detected by
-    the global label sum, which strictly decreases until fixpoint (labels
-    are per-node monotone non-increasing) — one cheap aggregate per
-    round, no driver-side data.
+    short jobs).  Convergence is detected by a changed-row count computed
+    IN the propagation projection itself (``_chg = 1`` iff a neighbor
+    label lowered this node's label), summed from the already-
+    materialized checkpoint — one cheap scalar per round, no driver-side
+    data, and type-agnostic over the id column (summing raw labels would
+    be NULL/overflow-prone for string or large int64 ids).
 
     Docs in no pair keep their own id (singleton components), so the
     output is a total map over ``df`` and the keep-list is exactly
@@ -555,7 +557,6 @@ def neardup_components(
         pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
     converged = False
     for _ in range(max_iter):
         msgs = (
@@ -567,13 +568,17 @@ def neardup_components(
         )
         labels = barrier(
             labels.join(msgs, labels.id == msgs.d, "left")
-            .select("id", F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"))
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("_nc", "comp")).alias("comp"),
+                # null-safe: _nc NULL (no incoming message) → condition NULL
+                # → otherwise-branch 0
+                F.when(F.col("_nc") < F.col("comp"), F.lit(1)).otherwise(F.lit(0)).alias("_chg"),
+            )
         )
-        cur = labels.agg(F.sum("comp")).first()[0]
-        if cur == prev_sum:
+        if not labels.agg(F.sum("_chg")).first()[0]:
             converged = True
             break
-        prev_sum = cur
     if not converged:
         # silently returning a partial closure would make dedupe_corpus
         # keep multiple "representatives" of one cluster — fail loudly;

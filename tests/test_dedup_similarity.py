@@ -153,6 +153,33 @@ def test_components_close_transitively_and_corpus_keeps_min(spark):
     assert kept == [1, 4, 9]
 
 
+def test_components_string_ids_close_transitively(spark):
+    """String doc ids (hash/uuid ids are common) must work end-to-end: the
+    old convergence check summed raw labels, which casts strings to
+    double → NULL every round → false convergence after ONE round, i.e. a
+    silently partial transitive closure.  A 3-hop chain needs >1 round,
+    so it pins the changed-row-count fixpoint detection."""
+    from rocket_etl_spark.operators.dedup import dedupe_corpus, neardup_components
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:02d}", f"text {i}") for i in (1, 2, 3, 4, 7)],
+        "doc_id string, text string",
+    )
+    # chain doc-04 ~ doc-03 ~ doc-02 ~ doc-01: min label needs 3 hops
+    pairs = spark.createDataFrame(
+        [("doc-04", "doc-03"), ("doc-03", "doc-02"), ("doc-02", "doc-01")],
+        "id_a string, id_b string",
+    )
+    comp = neardup_components(docs, pairs).toPandas()
+    got = dict(zip(comp.doc_id, comp.component_id))
+    assert got == {
+        "doc-01": "doc-01", "doc-02": "doc-01", "doc-03": "doc-01",
+        "doc-04": "doc-01", "doc-07": "doc-07",
+    }
+    kept = sorted(r.doc_id for r in dedupe_corpus(docs, pairs).collect())
+    assert kept == ["doc-01", "doc-07"]
+
+
 def test_components_match_union_find_on_random_graphs(spark):
     """Label propagation must equal a sequential union-find on random
     graphs (cycles, chains, hubs, isolated nodes)."""

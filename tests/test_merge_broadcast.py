@@ -190,3 +190,18 @@ def test_broadcast_merge_null_keys_match_smj(spark, tmp_path):
     # the null-key rows survived, newest wins; the r1/a delete applied
     assert len(s_b) == 3
     assert set(s_b["last_event_seq"]) == {2, 3, 5}
+
+
+def test_rel_paths_degrades_to_none_on_foreign_names():
+    """A file name the path-layout assumption can't place under the table
+    root (remote scheme, foreign mount) must degrade to None — 'rewrite
+    all touched-bucket files' — not abort the merge with ValueError."""
+    from rocket_etl_spark.lake.merge import _rel_paths
+
+    root = "/tmp/tbl"
+    assert _rel_paths(root, ["/tmp/tbl/data/b0/f1.parquet", ""]) == {"data/b0/f1.parquet"}
+    assert _rel_paths(root, ["file:///tmp/tbl/data/b0/f%201.parquet"]) == {"data/b0/f 1.parquet"}
+    # outside the root -> None (full rewrite), even if other names resolve
+    assert _rel_paths(root, ["/tmp/tbl/data/b0/f1.parquet", "/elsewhere/f2.parquet"]) is None
+    # non-local scheme: urlparse strips the scheme but the path is foreign
+    assert _rel_paths(root, ["s3://bucket/tbl/data/b0/f1.parquet"]) is None
