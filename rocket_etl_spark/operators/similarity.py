@@ -60,16 +60,41 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     return out
 
 
+def _pad_row(v, dim: int) -> "np.ndarray":
+    """Zero-pad/truncate to the declared dim; NULL behaves like the zero
+    vector (deterministic all-zero bits / list-0 assignment) instead of
+    crashing the Python worker."""
+    if v is None:
+        return np.zeros(dim)
+    a = np.asarray(v[:dim], dtype=np.float64)
+    return a if len(a) == dim else np.pad(a, (0, dim - len(a)))
+
+
 def lsh_signature(vec: Column, dim: int, planes: int = 12, seed: int = 42) -> Column:
-    """Sign-bit signature: bit p = 1 iff dot(vec, hyperplane_p) > 0."""
-    sig = F.lit(0).cast("long")
-    for p in range(planes):
-        hp = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
-        dot = F.aggregate(
-            F.zip_with(vec, hp, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    """Sign-bit signature: bit p = 1 iff dot(vec, hyperplane_p) > 0.
+
+    Arrow-batched numpy: all ``planes`` dot products are ONE BLAS matmul
+    per batch — ``(batch, dim) @ (dim, planes)`` — then a power-of-two
+    matvec packs the sign bits LSB-first (bit p ← plane p, the same
+    packing the expression form used, so the DuckDB bit-replay oracle is
+    unchanged).  The earlier nested zip_with/aggregate expression tree
+    (planes × dim literals) was evaluated interpreted and per-element by
+    Catalyst — the exact pattern the banded form's rewrite replaced at a
+    measured ~30x."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    H = np.array([_hyperplane(dim, p, seed) for p in range(planes)]).T  # (dim, P)
+    pw = 2 ** np.arange(planes, dtype=np.int64)  # bit p = plane p (LSB-first)
+
+    @pandas_udf(LongType())
+    def sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack(vs.map(lambda v: _pad_row(v, dim)).to_numpy())
+        return pd.Series((V @ H > 0).astype(np.int64) @ pw)
+
+    return sig(vec)
 
 
 def lsh_band_signatures(
@@ -100,22 +125,11 @@ def lsh_band_signatures(
     # first plane of a band is the most significant bit of its key
     pw = 2 ** np.arange(planes_per_band - 1, -1, -1, dtype=np.int64)
 
-    def to_row(v) -> np.ndarray:
-        # zero-pad/truncate to the declared dim: a short vector scores its
-        # real dot over the dims it has; NULL behaves like the zero vector
-        # (all-zero bits — the row still buckets, and any pair it reaches
-        # is dropped by the exact-cosine verify's NULL result) instead of
-        # crashing the Python worker
-        if v is None:
-            return np.zeros(dim)
-        a = np.asarray(v[:dim], dtype=np.float64)
-        return a if len(a) == dim else np.pad(a, (0, dim - len(a)))
-
     @pandas_udf(ArrayType(LongType()))
     def band_sigs(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        V = np.stack(vs.map(to_row).to_numpy())
+        V = np.stack(vs.map(lambda v: _pad_row(v, dim)).to_numpy())
         bits = (V @ H > 0).astype(np.int64)                       # (n, P)
         sigs = bits.reshape(len(V), bands, planes_per_band) @ pw  # (n, bands)
         return pd.Series(list(sigs))
@@ -130,14 +144,20 @@ def kmeans_centroids(
     sample_rows: int = 20_000,
     iters: int = 8,
     seed: int = 42,
+    approx_rows: int | None = None,
 ) -> "np.ndarray":
     """L2-normalized k-means centroids from a BOUNDED random sample —
     the IVF coarse quantizer.  The sample (≤ ``sample_rows`` vectors) is
     the only data that ever reaches the driver; Lloyd iterations run in
     numpy over it.  At corpus scale this is the standard IVF recipe
     (FAISS trains its quantizer on a sample too): index quality needs a
-    representative sample, not the corpus."""
-    n = df.count()
+    representative sample, not the corpus.
+
+    ``approx_rows``: pass any row-count estimate (snapshot stats, a prior
+    count, an upper bound) to skip the sizing ``count()`` job — the
+    fraction only needs to be roughly right, the ``limit`` caps the
+    collect either way."""
+    n = df.count() if approx_rows is None else approx_rows
     frac = min(1.0, (sample_rows * 1.25) / max(n, 1))
     rows = (
         df.select(vec_col).sample(False, frac, seed).limit(sample_rows).collect()
@@ -169,24 +189,37 @@ def ivf_assign(
     from pyspark.sql.types import IntegerType
 
     C = centroids  # (k, dim), rows unit-norm
-
     dim = C.shape[1]
-
-    def to_row(v) -> np.ndarray:
-        if v is None:  # NULL vector: assign deterministically, never crash
-            return np.zeros(dim)
-        a = np.asarray(v[:dim], dtype=np.float64)
-        return a if len(a) == dim else np.pad(a, (0, dim - len(a)))
 
     @pandas_udf(IntegerType())
     def assign(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        V = np.stack(vs.map(to_row).to_numpy())
+        V = np.stack(vs.map(lambda v: _pad_row(v, dim)).to_numpy())
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
 
     return assign(F.col(vec_col))
+
+
+def precompute_ivf_assignment(
+    df: DataFrame,
+    centroids: "np.ndarray | None" = None,
+    vec_col: str = "embedding",
+    list_col: str = "_ivf_list",
+    n_centroids: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """The once-per-corpus half of IVF deployment: train (or accept) the
+    quantizer and return ``(df + list_col, centroids)``.  Write the
+    result bucketed/partitioned by ``list_col`` and pass the SAME
+    centroid matrix to every ``ivf_ann_topk(..., centroids=...)`` call —
+    each query then re-plans to a partition-pruned scan of its ``nprobe``
+    lists and runs zero training jobs."""
+    C = centroids if centroids is not None else kmeans_centroids(
+        df, vec_col, n_centroids, seed=seed
+    )
+    return df.withColumn(list_col, ivf_assign(C, vec_col)), C
 
 
 def ivf_ann_topk(
@@ -198,6 +231,7 @@ def ivf_ann_topk(
     n_centroids: int = 64,
     nprobe: int = 8,
     seed: int = 42,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) search — the OTHER
     standard ANN shape next to ``lsh_ann_topk``: a k-means coarse
@@ -206,9 +240,14 @@ def ivf_ann_topk(
 
     Scale shape: the quantizer trains on a bounded sample (driver-side
     numpy — the only collect); list assignment is one Arrow matmul pass;
-    the probe reads ~``nprobe/n_centroids`` of the corpus.  On a real
-    deployment the assignment column is precomputed once per corpus and
-    the table bucketed by it, so each query is a partition-pruned scan.
+    the probe reads ~``nprobe/n_centroids`` of the corpus.  Pass
+    ``centroids=`` (from ``kmeans_centroids`` / a prior
+    ``precompute_ivf_assignment``) to skip training entirely — the
+    production shape: train once per corpus, bucket the table by the
+    assignment column, and every query is a partition-pruned scan with
+    zero training jobs.  Training is seed-deterministic, so passed-in and
+    per-call-trained centroids give identical results for the same
+    (corpus, seed).
 
     Not ANSI-SQL-replayable (k-means is iterative and data-dependent),
     so its harness entry is rows-only; the pytest gate instead checks
@@ -217,7 +256,9 @@ def ivf_ann_topk(
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
     if qrow is None or qrow[0] is None:
         raise ValueError(f"query_id {query_id!r} not found (or has a NULL {vec_col!r})")
-    C = kmeans_centroids(df, vec_col, n_centroids, seed=seed)
+    C = centroids if centroids is not None else kmeans_centroids(
+        df, vec_col, n_centroids, seed=seed
+    )
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("_list", ivf_assign(C, "_v"))

@@ -89,6 +89,33 @@ def test_ivf_ann_exact_cosines_and_recall(spark):
     assert list(again.vec_id) == list(approx.vec_id)
 
 
+def test_ivf_precomputed_quantizer_reused_across_queries(spark):
+    """The production deployment: ONE quantizer training, many queries.
+    Results with a passed-in centroid matrix must equal the per-call
+    retrain (training is seed-deterministic), and precompute_ivf_assignment
+    must agree with the in-query list assignment."""
+    import pyspark.sql.functions as SF
+
+    from rocket_etl_spark.operators.similarity import (
+        ivf_ann_topk,
+        kmeans_centroids,
+        precompute_ivf_assignment,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = kmeans_centroids(emb, k=16, approx_rows=600)  # approx_rows: no count job
+    for qid in (0, 7):
+        got = ivf_ann_topk(emb, query_id=qid, k=10, n_centroids=16, nprobe=4,
+                           centroids=C).toPandas()
+        ref = ivf_ann_topk(emb, query_id=qid, k=10, n_centroids=16, nprobe=4).toPandas()
+        assert list(got.vec_id) == list(ref.vec_id)
+        assert list(got.cos_sim) == list(ref.cos_sim)
+    assigned, C2 = precompute_ivf_assignment(emb, centroids=C)
+    assert C2 is C
+    n_lists = assigned.select(SF.countDistinct("_ivf_list")).first()[0]
+    assert 1 < n_lists <= 16  # clustered testdata spreads over real lists
+
+
 def test_dedupe_cascade_end_to_end(spark):
     """exact dupes AND transitive near-dups collapse; unrelated docs
     survive; output carries the input columns."""
