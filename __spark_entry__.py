@@ -595,6 +595,13 @@ _CDC_LANGS_NORM = ["python", "cpp", "go", "rust", "javascript", "sql", "java"]
 
 # the oracle emits the POST-normalization lang directly — checking the
 # engine's normalize_lang output against the known alias targets
+# volume guard, applied identically in BOTH engines so results stay
+# bit-equal: event_id is dense 0..N-1 in the testdata (measured), so this
+# never bites at the driver's correctness scales (sf0.01 = 10k, sf0.1 =
+# 100k events) and merely bounds replay volume if the harness were ever
+# pointed at a much larger sf dir
+_CDC_EV_CAP = 2_000_000
+
 _CDC_EV_SQL = (
     "SELECT event_id AS event_seq, "
     "CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op, "
@@ -603,7 +610,7 @@ _CDC_EV_SQL = (
     "'c' || event_id::VARCHAR AS cmt, "
     "[" + ", ".join(f"'{x}'" for x in _CDC_LANGS_NORM) + "]"
     "[(event_id % 7)::INT + 1] AS lang, "
-    "props AS content FROM events"
+    f"props AS content FROM events WHERE event_id < {_CDC_EV_CAP}"
 )
 
 
@@ -612,7 +619,7 @@ def _synth_cdc_events(spark, sf):
     every column a pure function of event_id, so the DuckDB oracle can
     re-derive the identical stream.  Dirty lang labels exercise the
     normalize_lang path; every 17th event is a delete."""
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < _CDC_EV_CAP)
     return ev.select(
         F.col("event_id").alias("event_seq"),
         F.col("ts").alias("event_ts"),

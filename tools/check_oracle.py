@@ -50,18 +50,34 @@ def _multiset(pdf):
     return sorted(tuple(_canon(v) for v in row) for row in pdf[cols].itertuples(index=False))
 
 
-def _dtype_class(dt) -> str:
+def _dtype_class(col) -> str:
     """Coarse dtype family — the driver's value hash distinguishes int 0
     from float 0.0, which `_canon` deliberately collapses, so the mirror
     must ALSO compare families or it under-reports (the round-2
-    math_funcs/text_token_stats reds passed this mirror)."""
-    s = str(dt)
+    math_funcs/text_token_stats reds passed this mirror).
+
+    Object columns are classified by probing the first non-null VALUE:
+    Spark decimals reach pandas as object(Decimal) while DuckDB's arrive
+    float64 — same family, not a red (round-3 advisor note)."""
+    import decimal
+
+    s = str(col.dtype)
     if "int" in s:
         return "int"
     if "float" in s or "double" in s:
         return "float"
     if "bool" in s:
         return "bool"
+    if s == "object":
+        nn = col.dropna()
+        if len(nn):
+            v = nn.iloc[0]
+            if isinstance(v, (decimal.Decimal, float)):
+                return "float"
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
     return "obj"
 
 
@@ -69,7 +85,7 @@ def _dtype_mismatch(sdf, odf) -> list[str]:
     return [
         f"{c}: spark={sdf[c].dtype} duck={odf[c].dtype}"
         for c in sdf.columns
-        if _dtype_class(sdf[c].dtype) != _dtype_class(odf[c].dtype)
+        if _dtype_class(sdf[c]) != _dtype_class(odf[c])
     ]
 
 
