@@ -545,6 +545,28 @@ def _text_analysis(spark, sf):
     )
 
 
+_MIX_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
+
+
+def _corpus_sample_frac(spark, sf):
+    """Training-mix assembly, corpus-scale path: per-language fraction
+    sample as a shuffle-free deterministic hash filter (a predicate in
+    the scan stage — no exchange anywhere at any scale)."""
+    from rocket_etl_spark.operators.sampling import hash_fraction_sample
+
+    d = _t(spark, sf, "documents")
+    return hash_fraction_sample(d, _MIX_FRACS, strata_col="lang").select("doc_id", "lang")
+
+
+def _corpus_sample_quota(spark, sf):
+    """Training-mix assembly, exact-count path: 30 docs per language,
+    the quota lowest sampling hashes (deterministic, prefix-consistent)."""
+    from rocket_etl_spark.operators.sampling import stratified_quota_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_quota_sample(d, 30, strata_col="lang").select("doc_id", "lang")
+
+
 def _text_quality(spark, sf):
     return quality_metrics(_t(spark, sf, "documents"))
 
@@ -919,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_token_bpe": _text_token_bpe,
         "knn_ivf": _knn_ivf,
+        "corpus_sample_frac": _corpus_sample_frac,
+        "corpus_sample_quota": _corpus_sample_quota,
     }
 
 
@@ -1298,6 +1322,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.embedding), 4) "
             "AS cos_sim FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "corpus_sample_frac": (
+            # same deterministic hash coordinate as Spark's md5_60bit
+            "SELECT doc_id, lang FROM documents WHERE "
+            + _duck_md5i("doc_id::VARCHAR || ':42'")
+            + " < CASE lang "
+            + " ".join(
+                f"WHEN '{v}' THEN {int(f * (1 << 60))}"
+                for v, f in sorted(_MIX_FRACS.items())
+            )
+            + " ELSE 0 END"
+        ),
+        "corpus_sample_quota": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            + _duck_md5i("doc_id::VARCHAR || ':42'")
+            + ", doc_id) AS rn FROM documents) WHERE rn <= 30"
         ),
         "text_analysis": (
             # fused per-doc pass: text_quality + text_lang_id +

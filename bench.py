@@ -47,6 +47,9 @@ HEADLINE = [
     "knn_cosine",
     "knn_ivf",
     "text_quality",
+    # r4 addition (prior keys unchanged for round-over-round comparison):
+    # the fused one-scan text pass that replaced 4 per-doc board rows
+    "text_analysis",
 ]
 
 
