@@ -221,7 +221,7 @@ def _merge_smj(
     )
 
 
-def _rel_paths(table_path, fnames) -> set[str]:
+def _rel_paths(table_path, fnames) -> set[str] | None:
     """input_file_name() URIs → snapshot-relative posix paths.
 
     Returns ``None`` when any name cannot be resolved under the table

@@ -164,6 +164,11 @@ def decode_image_batches(
     def decode_one(p: bytes) -> tuple[int, int, float]:
         if fake:
             return _fake_decode(p)
+        if not p:
+            # NULL/empty payload: a zero feature row, never a dead executor
+            # (one bad row must not kill a corpus-scale decode pass — same
+            # convention as similarity._pad_row / ivf_assign)
+            return 0, 0, 0.0
         if p[: len(_PNG_SIG)] == _PNG_SIG:
             return _png_features(p)
         raise NotImplementedError(

@@ -83,7 +83,12 @@ def stratified_quota_sample(
     smaller), chosen as the quota lowest sampling hashes — deterministic
     and prefix-consistent across quota sizes.  One shuffle (by stratum)
     + per-stratum sort; strata sort in parallel."""
-    w = Window.partitionBy(strata_col).orderBy(sample_hash(id_col, seed), F.col(id_col))
+    # NULLS LAST on both keys: Spark windows default to NULLS FIRST while
+    # DuckDB (and the SQL oracle) default to NULLS LAST — a NULL id must
+    # never displace a real doc from the quota prefix in one engine only
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(id_col, seed).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     ranked = df.withColumn("_sample_rank", F.row_number().over(w))
     if isinstance(quotas, dict):
         q = F.lit(0)

@@ -77,7 +77,14 @@ def lsh_signature(vec: Column, dim: int, planes: int = 12, seed: int = 42) -> Co
     per batch — ``(batch, dim) @ (dim, planes)`` — then a power-of-two
     matvec packs the sign bits LSB-first (bit p ← plane p, the same
     packing the expression form used, so the DuckDB bit-replay oracle is
-    unchanged).  The earlier nested zip_with/aggregate expression tree
+    unchanged).  Residual cross-engine caveat, accepted: BLAS may sum the
+    dot product pairwise while SQL folds sequentially, so a dot that
+    cancels to within float64 rounding of zero (|dot| ≲ 1e-13·|v| against
+    a ±1 hyperplane — probability ~0 on real embeddings) could flip a
+    sign bit vs the oracle; every float comparison in the suite shares
+    this knife edge and the exact-cosine re-rank downstream is unaffected
+    by a single candidate-set bit.  The earlier nested
+    zip_with/aggregate expression tree
     (planes × dim literals) was evaluated interpreted and per-element by
     Catalyst — the exact pattern the banded form's rewrite replaced at a
     measured ~30x."""

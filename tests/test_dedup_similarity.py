@@ -411,13 +411,15 @@ def test_png_decode_executor_side_real_path(spark):
     solid = np.full((3, 4, 3), 255, dtype=np.uint8)   # white RGB → luma 1.0
     dark = np.zeros((2, 6, 1), dtype=np.uint8)        # black gray → luma 0.0
     rows = [(1, bytearray(_encode_png(solid, [0, 1, 4]))),
-            (2, bytearray(_encode_png(dark, [2, 3])))]
+            (2, bytearray(_encode_png(dark, [2, 3]))),
+            (3, None)]  # NULL payload: zero feature row, never a dead executor
     df = spark.createDataFrame(rows, "asset_id bigint, payload binary")
     feats = decode_image_batches(df, fake=False).toPandas().set_index("asset_id")
     assert (feats.loc[1, "width"], feats.loc[1, "height"]) == (4, 3)
     assert feats.loc[1, "mean_luma"] == 1.0
     assert (feats.loc[2, "width"], feats.loc[2, "height"]) == (6, 2)
     assert feats.loc[2, "mean_luma"] == 0.0
+    assert (feats.loc[3, "width"], feats.loc[3, "height"], feats.loc[3, "mean_luma"]) == (0, 0, 0.0)
 
 
 def test_exact_dedup_at_scale_shape(spark):
