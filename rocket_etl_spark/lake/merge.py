@@ -479,6 +479,20 @@ def _merge_once(
 
     commit_tag = f"{snap['snapshot_id'] + 1:08d}-{uuid.uuid4().hex[:8]}"
 
+    # SPARK_GRAFT_TIMING=1: print a per-phase wall breakdown of this merge
+    # (plan / decide+write / stats / commit) — the observability hook for
+    # chasing per-epoch fixed costs (streaming mode pays them per micro-
+    # batch).  Negligible overhead when unset (a few monotonic() calls).
+    _timing = bool(_os.environ.get("SPARK_GRAFT_TIMING"))
+    _tm = time.monotonic()
+    _ph: dict[str, float] = {}
+
+    def _mark(phase: str) -> None:
+        nonlocal _tm
+        now = time.monotonic()
+        _ph[phase] = _ph.get(phase, 0.0) + (now - _tm)
+        _tm = now
+
     # 1+2. planning IS the LWW winner aggregation: ONE column-pruned pass
     # over (keys, order, op) computes, per key, the winning order + op
     # (the broadcast MERGE's decision input, cached and reused) AND the
@@ -533,6 +547,7 @@ def _merge_once(
     key_bytes = int(sum(r["kb"] or 0 for r in plan_rows))
     avg_key_bytes = key_bytes / rows_in if rows_in else 0.0
     est_broadcast_bytes = int(distinct_keys * (avg_key_bytes + _BCAST_ROW_OVERHEAD))
+    _mark("plan")
 
     out_files: dict[int, list[dict]] = {}
     stat_map: dict[str, int] = {}
@@ -598,6 +613,7 @@ def _merge_once(
                 deduped = deduped.withColumn(c, expr)
             outputs = [(_merge_smj(deduped, current, keys, order_col, vals, nb), True)]
 
+        _mark("decide")  # broadcast: incl. the matched-file collect
         out_dir_rel = f"data/commit-{commit_tag}"
         out_dir = table.path / out_dir_rel
         for i, (part, tight) in enumerate(outputs):
@@ -617,12 +633,14 @@ def _merge_once(
                 if p.name.endswith(".parquet")
             ]
             out_files[b] = [{"path": p, "sv": schema.version} for p in files]
+        _mark("write")
 
         if out_files:
             bucket_actions = _action_counts(spark, out_dir, out_files)
             for counts in bucket_actions.values():
                 for a, n in counts.items():
                     stat_map[a] = stat_map.get(a, 0) + n
+        _mark("stats")
 
     for c in caches:  # plan+writes done — release the cached slim decision
         c.unpersist()
@@ -673,6 +691,16 @@ def _merge_once(
             "stats": {"rows_in": rows_in},
         }
         if table._try_write_snapshot(new_snap):
+            if _timing:
+                _mark("commit")
+                print(
+                    "[merge-timing] epoch=%s %s total=%.3fs"
+                    % (
+                        epoch_id,
+                        " ".join(f"{k}={v:.3f}s" for k, v in _ph.items()),
+                        sum(_ph.values()),
+                    )
+                )
             return CommitResult(
                 snapshot_id=new_snap["snapshot_id"],
                 epoch_id=epoch_id,
