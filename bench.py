@@ -47,9 +47,12 @@ HEADLINE = [
     "knn_cosine",
     "knn_ivf",
     "text_quality",
-    # r4 addition (prior keys unchanged for round-over-round comparison):
-    # the fused one-scan text pass that replaced 4 per-doc board rows
+    # r4 additions (prior keys unchanged for round-over-round comparison):
+    # the fused one-scan text pass that replaced 4 per-doc board rows, and
+    # the two training-mix samplers
     "text_analysis",
+    "corpus_sample_frac",
+    "corpus_sample_quota",
 ]
 
 
