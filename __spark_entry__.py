@@ -567,6 +567,16 @@ def _corpus_sample_quota(spark, sf):
     return stratified_quota_sample(d, 30, strata_col="lang").select("doc_id", "lang")
 
 
+def _corpus_pack(spark, sf):
+    """Sequence packing (the UDTF surface): docs → ≤4000-char training
+    bins per language, greedy in doc_id order — per-partition sequential
+    state that explode/window cannot express; the oracle replays the
+    identical fold as a DuckDB recursive CTE."""
+    from rocket_etl_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), budget=4000)
+
+
 def _text_quality(spark, sf):
     return quality_metrics(_t(spark, sf, "documents"))
 
@@ -943,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,
         "corpus_sample_frac": _corpus_sample_frac,
         "corpus_sample_quota": _corpus_sample_quota,
+        "corpus_pack": _corpus_pack,
     }
 
 
@@ -1339,6 +1350,27 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY "
             + _duck_md5i("doc_id::VARCHAR || ':42'")
             + ", doc_id) AS rn FROM documents) WHERE rn <= 30"
+        ),
+        "corpus_pack": (
+            # the UDTF's greedy fold, replayed as a recursive CTE: carry
+            # (bin_id, running total) row-to-row within each language
+            "WITH RECURSIVE base AS ("
+            "  SELECT lang, doc_id, n_chars AS w,"
+            "         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn"
+            "  FROM documents"
+            "), fold AS ("
+            "  SELECT lang, rn, doc_id, w, CAST(0 AS BIGINT) AS bin_id, w AS run"
+            "  FROM base WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT b.lang, b.rn, b.doc_id, b.w,"
+            "         CASE WHEN f.run + b.w > 4000 THEN f.bin_id + 1 ELSE f.bin_id END,"
+            "         CASE WHEN f.run + b.w > 4000 THEN b.w ELSE f.run + b.w END"
+            "  FROM fold f JOIN base b ON b.lang = f.lang AND b.rn = f.rn + 1"
+            ") "
+            "SELECT lang AS part, bin_id, "
+            "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids, "
+            "CAST(count(*) AS INT) AS n_docs, CAST(sum(w) AS BIGINT) AS total_tokens "
+            "FROM fold GROUP BY lang, bin_id"
         ),
         "text_analysis": (
             # fused per-doc pass: text_quality + text_lang_id +

@@ -53,6 +53,7 @@ HEADLINE = [
     "text_analysis",
     "corpus_sample_frac",
     "corpus_sample_quota",
+    "corpus_pack",
 ]
 
 
