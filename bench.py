@@ -175,6 +175,13 @@ def main() -> None:
     stage_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     in_dir = tempfile.mkdtemp(prefix="bench-events-", dir=stage_root)
     lake_dir = tempfile.mkdtemp(prefix="bench-lake-", dir=stage_root)
+    # crash-safe tmpfs reclaim: an aborted bench must not strand ~GBs on
+    # /dev/shm (leaked dirs eventually stop every later JVM from starting)
+    import atexit
+    import shutil as _sh
+
+    atexit.register(_sh.rmtree, in_dir, True)
+    atexit.register(_sh.rmtree, lake_dir, True)
     ev.write.mode("overwrite").parquet(in_dir)
     events = spark.read.parquet(in_dir)
     ev2 = change_events(

@@ -35,7 +35,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 _RUNNER = """
-import json, sys, tempfile, time
+import atexit, json, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from rocket_etl_spark.session import build_session
 from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_batch
@@ -45,8 +45,12 @@ spark = build_session(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                       extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
 spark.sparkContext.setLogLevel("ERROR")
 events = spark.read.parquet(in_dir)
-table = create_repo_files_table(spark, tempfile.mkdtemp(dir="/dev/shm") + "/t",
-                                num_buckets=2 * cores)
+# tmpfs lake dir MUST be reclaimed even on crash: a 32M-event replay
+# leaves a ~9 GB table — 25 leaked trials filled /dev/shm and made every
+# later JVM fail to start (observed in round 4)
+lake_dir = tempfile.mkdtemp(prefix="scaling-lake-", dir="/dev/shm")
+atexit.register(shutil.rmtree, lake_dir, True)
+table = create_repo_files_table(spark, lake_dir + "/t", num_buckets=2 * cores)
 n = int(sys.argv[3])
 t0 = time.monotonic()
 replay_batch(table, events, epoch_id=0)
@@ -57,15 +61,31 @@ spark.stop()
 """
 
 
-def run(cores: int, in_dir: str, n_events: int) -> dict:
+def run(cores: int, in_dir: str, n_events: int, retries: int = 1) -> dict | None:
+    """One fresh-JVM replay trial.  A crashed/empty subprocess (host OOM
+    burst, JVM abort) is retried once, then skipped with its stderr tail
+    printed — a 25-minute protocol must never die on one lost trial."""
     script = _RUNNER.format(repo=str(REPO))
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), in_dir, str(n_events)],
-        capture_output=True, text=True, env={**os.environ, "PYTHONPATH": str(REPO)},
-        timeout=1800,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, "-c", script, str(cores), in_dir, str(n_events)],
+            capture_output=True, text=True, env={**os.environ, "PYTHONPATH": str(REPO)},
+            timeout=1800,
+        )
+        lines = out.stdout.strip().splitlines()
+        if lines:
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                pass
+        print(
+            json.dumps({
+                "cores": cores, "failed_attempt": attempt + 1, "rc": out.returncode,
+                "stderr_tail": out.stderr.strip().splitlines()[-3:],
+            }),
+            flush=True,
+        )
+    return None
 
 
 def main() -> None:
@@ -85,6 +105,10 @@ change_events(spark, {n_events}, n_repos=2000, paths_per_repo=4000, delete_frac=
 spark.stop()
 """
     in_dir = tempfile.mkdtemp(prefix="scaling-events-", dir="/dev/shm")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, in_dir, True)  # crash-safe tmpfs reclaim
     subprocess.run(
         [sys.executable, "-c", gen, in_dir],
         check=True, capture_output=True, text=True,
@@ -97,6 +121,8 @@ spark.stop()
     for t in range(trials):
         for cores in (8, 32):  # interleaved: noise bursts hit both sides
             r = run(cores, in_dir, n_events)
+            if r is None:  # skipped trial (crash after retry) — keep going
+                continue
             r["trial"] = t + 1
             runs[cores].append(r)
             print(json.dumps(r), flush=True)
@@ -116,9 +142,11 @@ spark.stop()
     eff = s32["median_events_per_sec"] / (4 * s8["median_events_per_sec"])
     # adjacent 8/32 runs share tenancy conditions, so per-pair efficiency
     # then median is the most noise-robust single number this VM can give
+    by_trial32 = {r["trial"]: r for r in runs[32]}
     paired = [
-        round(b["events_per_sec"] / (4 * a["events_per_sec"]), 3)
-        for a, b in zip(runs[8], runs[32])
+        round(by_trial32[a["trial"]]["events_per_sec"] / (4 * a["events_per_sec"]), 3)
+        for a in runs[8]
+        if a["trial"] in by_trial32  # skip trials where one side was lost
     ]
     result = {
         "events": n_events,
