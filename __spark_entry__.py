@@ -567,6 +567,17 @@ def _corpus_sample_quota(spark, sf):
     return stratified_quota_sample(d, 30, strata_col="lang").select("doc_id", "lang")
 
 
+def _corpus_decontaminate(spark, sf):
+    """Benchmark decontamination (the 13-gram-collision rule, n=5 at test
+    scale): docs sharing any 5-gram with the pseudo eval set
+    (doc_id % 17 == 0) are dropped; survivors returned."""
+    from rocket_etl_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(d, bench, n=5).select("doc_id", "lang")
+
+
 def _corpus_pack(spark, sf):
     """Sequence packing (the UDTF surface): docs → ≤4000-char training
     bins per language, greedy in doc_id order — per-partition sequential
@@ -954,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_frac": _corpus_sample_frac,
         "corpus_sample_quota": _corpus_sample_quota,
         "corpus_pack": _corpus_pack,
+        "corpus_decontaminate": _corpus_decontaminate,
     }
 
 
@@ -1350,6 +1362,26 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY "
             + _duck_md5i("doc_id::VARCHAR || ':42'")
             + ", doc_id) AS rn FROM documents) WHERE rn <= 30"
+        ),
+        "corpus_decontaminate": (
+            # same 5-gram construction as the Spark side (minhash oracle's
+            # shingle recipe); bench = doc_id % 17 == 0; any collision drops
+            "WITH toks AS ("
+            "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents"
+            "), sh AS ("
+            "  SELECT doc_id, list_distinct(list_transform("
+            "    range(1, greatest(len(t) - 4, 0) + 1),"
+            "    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+            "  )) AS s FROM toks"
+            "), bg AS ("
+            "  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0"
+            "), cg AS ("
+            "  SELECT doc_id, unnest(s) AS g FROM sh"
+            "), flagged AS ("
+            "  SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)"
+            ") "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "LEFT JOIN flagged f ON d.doc_id = f.doc_id WHERE f.doc_id IS NULL"
         ),
         "corpus_pack": (
             # the UDTF's greedy fold, replayed as a recursive CTE: carry

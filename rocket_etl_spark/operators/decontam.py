@@ -1,0 +1,90 @@
+"""Benchmark decontamination: drop training docs that collide with an
+evaluation set.
+
+The standard pre-training hygiene step (the "13-gram collision" rule of
+the GPT-3 appendix, since adopted broadly): a training document sharing
+any sufficiently long token n-gram with a benchmark/eval document is
+considered contaminated and removed, so downstream evals measure
+generalization rather than memorization.
+
+Scale shape — built for an ASYMMETRIC join (corpus ≫ benchmark):
+
+* benchmark grams (distinct, typically ≤ a few million strings) are
+  **broadcast**; the corpus side streams its exploded grams through a
+  map-side ``left_semi`` broadcast join — corpus payloads and grams
+  NEVER shuffle;
+* only the contaminated doc ids (a tiny set) pass through a distinct;
+* the final filter is a broadcast ``left_anti`` of the corpus against
+  those ids — again no corpus shuffle.
+
+So the whole operation is two scans of the corpus with map-side joins:
+the plan a 100 TB corpus needs.  Gram construction reuses the dedup
+cascade's ``shingle_frame`` (token split evaluated once per row,
+shuffle-barriered against Catalyst re-inlining).  Set
+``broadcast_bench=False`` only if the benchmark side is itself huge
+(then both sides shuffle on the gram key — still linear, never
+quadratic).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rocket_etl_spark.operators.dedup import shingle_frame
+
+
+def _gram_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    sh = shingle_frame(df, text_col, id_col, n)
+    # explode_outer + null guard: see shingle_frame's docstring (a plain
+    # explode triggers Catalyst's per-element re-inlining of the split)
+    return (
+        sh.select(id_col, F.explode_outer("_sh").alias("_g"))
+        .filter(F.col("_g").isNotNull() & (F.col("_g") != ""))
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_shared: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Distinct ids of corpus docs sharing ≥ ``min_shared`` distinct
+    token n-grams with ANY benchmark doc (``min_shared=1`` is the
+    standard any-collision rule)."""
+    bench_grams = (
+        _gram_frame(benchmark, text_col, id_col, n).select("_g").distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    hits = _gram_frame(corpus, text_col, id_col, n).join(bench_grams, "_g", "left_semi")
+    if min_shared <= 1:
+        return hits.select(id_col).distinct()
+    # shingle_frame grams are array_distinct per doc, so a plain count of
+    # surviving grams IS the distinct shared-gram count
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select(id_col)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_shared: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """The corpus minus contaminated docs (all input columns kept)."""
+    flagged = contaminated_ids(
+        corpus, benchmark, text_col, id_col, n, min_shared, broadcast_bench
+    )
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

@@ -84,7 +84,13 @@ def shingle_frame(
     inputs would stay single-partition.  The barrier pins the arrays as
     shuffled bytes — computed exactly once per input row."""
     toked = df.select(F.col(id_col), *[F.col(c) for c in extra_cols], tokens(text_col).alias("_toks"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0)))
+    # guarded: a doc with fewer than n tokens has NO n-grams.  The old
+    # unguarded sequence(1, size-(n-1)) produced a DESCENDING [1, 0] for
+    # short docs, whose element_at(size+1) crashes the whole job under
+    # ANSI mode (round-4 find via decontamination's short test docs).
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     built = toked.select(
         id_col,
         *extra_cols,
