@@ -54,6 +54,7 @@ HEADLINE = [
     "corpus_sample_frac",
     "corpus_sample_quota",
     "corpus_pack",
+    "corpus_decontaminate",
 ]
 
 
