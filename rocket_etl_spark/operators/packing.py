@@ -47,7 +47,12 @@ def greedy_pack(
     tot = 0
     for i, w in items:
         w = int(w)
-        if tot and tot + w > budget:
+        # non-EMPTY (not non-zero-total) gate: a zero-weight head must not
+        # disable the overflow check — hypothesis found [w=0, w>budget]
+        # packing an oversize doc into the zero-weight bin while the
+        # recursive-CTE oracle (run + w > budget on any non-first row)
+        # closes it; both engines now agree
+        if ids and tot + w > budget:
             bins.append((ids, tot))
             ids, tot = [], 0
         ids.append(i)
@@ -92,7 +97,7 @@ def make_pack_udtf(
         def eval(self, row):
             w = int(row[weight_col])
             self.part = row[part_col]
-            if self.tot and self.tot + w > budget:
+            if self.ids and self.tot + w > budget:
                 yield from self._close()
                 self.bin_id += 1
                 self.ids, self.tot = [], 0

@@ -43,6 +43,33 @@ def test_pack_sequences_matches_pure_greedy_and_invariants(spark):
     assert a.equals(b)
 
 
+def test_greedy_pack_properties():
+    """Hypothesis invariants on the pure fold: partition of the input in
+    order, budget respected except oversize singletons, totals exact,
+    and maximality (a bin never closes while the next doc still fits)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=50), max_size=40),
+        st.integers(min_value=1, max_value=60),
+    )
+    def check(weights, budget):
+        items = list(enumerate(weights))
+        bins = greedy_pack(items, budget)
+        flat = [i for ids, _ in bins for i in ids]
+        assert flat == [i for i, _ in items]  # partition, order preserved
+        for k, (ids, tot) in enumerate(bins):
+            assert tot == sum(weights[i] for i in ids)
+            assert tot <= budget or len(ids) == 1
+            if k + 1 < len(bins):  # maximality: next bin's head didn't fit
+                nxt = weights[bins[k + 1][0][0]]
+                assert tot + nxt > budget
+
+    check()
+
+
 def test_pack_sequences_oversize_doc_gets_own_bin(spark):
     rows = [("en", 1, 100), ("en", 2, 9000), ("en", 3, 100), ("x", 9, 50)]
     df = spark.createDataFrame(rows, "lang string, doc_id bigint, n_chars bigint")
