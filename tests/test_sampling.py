@@ -59,6 +59,32 @@ def test_quota_sample_exact_counts_and_prefix_consistency(spark):
     assert "fr" not in qd.index
 
 
+def test_samplers_match_pure_python_reference(spark):
+    """Both samplers equal an independent pure-python replica of the
+    md5-60bit coordinate — pinning the exact hash/threshold/rank math the
+    DuckDB oracle also relies on."""
+    import hashlib
+
+    from rocket_etl_spark.operators.sampling import stratified_quota_sample
+
+    def h(doc_id, seed=42):
+        return int(hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:15], 16)
+
+    d = spark.read.parquet(DOCS)
+    src = d.select("doc_id", "lang").toPandas()
+
+    got = sorted(
+        hash_fraction_sample(d, 0.3, id_col="doc_id").select("doc_id").toPandas().doc_id
+    )
+    want = sorted(i for i in src.doc_id if h(i) < int(0.3 * (1 << 60)))
+    assert got == want
+
+    got_q = stratified_quota_sample(d, 7, strata_col="lang").toPandas()
+    for lang, grp in src.groupby("lang"):
+        want_ids = sorted(grp.doc_id, key=lambda i: (h(i), i))[:7]
+        assert sorted(got_q[got_q.lang == lang].doc_id) == sorted(want_ids)
+
+
 def test_fraction_sample_is_scan_stage_filter(spark):
     """The corpus-scale contract: NO exchange anywhere in the plan — the
     sample must be a predicate inside the scan stage."""
