@@ -95,6 +95,108 @@ SLIM_DEDUPE_MAX_BYTES = int(
 # fields + map entry — ~64 bytes is deliberately conservative
 _BCAST_ROW_OVERHEAD = 64
 
+# ---- per-file key blooms: decide-phase scan pruning --------------------
+# The merge's decide phase (winners × table slim join) must consult every
+# touched bucket's key columns — measured as the per-epoch cost floor
+# (BENCH/BASELINE.md round-4 breakdown).  Small commits therefore attach
+# a tiny bloom filter of their keys to each written file entry; a later
+# small epoch collects its (bounded) winner keys and SKIPS scanning any
+# bloomed file that cannot contain one.  Blooms have no false negatives,
+# so a skipped file provably holds only keep-rows, which the broadcast
+# path re-links untouched (matched-file pruning) — pruning is therefore
+# gated on broadcast-path eligibility; the SMJ path never prunes.
+# The payoff case is the production shape: a long stream of small epochs
+# between compactions, where the table is many small files and each
+# epoch's keys live in few of them.  Compaction drops blooms (rewritten
+# files get none) — conservative, never wrong.
+BLOOM_BITS = 1 << 13  # 8192 bits = 1 KB per file entry, ~2% fp at 1k keys
+BLOOM_COMMIT_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_BLOOM_MAX_ROWS", 250_000))
+BLOOM_PROBE_MAX_KEYS = int(_os.environ.get("SPARK_GRAFT_BLOOM_PROBE_KEYS", 20_000))
+_BLOOMS_ENABLED = _os.environ.get("SPARK_GRAFT_FILE_BLOOMS", "1") != "0"
+
+
+_BLOOM_K = 8  # hash positions per key: false-hit ≈ fill^8, so a probe of
+#               thousands of keys still skips files at ~30% fill — k=2
+#               saturates at a few hundred probe keys (fill² decay)
+
+
+def _bloom_positions(key_vals) -> list[int]:
+    """``_BLOOM_K`` bit positions for a key tuple — pure python/hashlib so
+    the write side (pyarrow read-back) and probe side (collected winner
+    rows) can never disagree.  NULL key parts get a reserved token."""
+    import hashlib
+
+    s = "\x1f".join("\x00" if v is None else str(v) for v in key_vals)
+    d = hashlib.md5(s.encode()).digest() + hashlib.md5(s.encode() + b"#").digest()
+    return [
+        int.from_bytes(d[4 * i : 4 * i + 4], "big") % BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _build_file_blooms(out_dir, out_files: dict[int, list[dict]], keys) -> None:
+    """Attach a base64 key bloom to every just-written file entry
+    (driver-side pyarrow, threaded — same bounded pattern as
+    ``_action_counts``; only called for small commits)."""
+    import base64
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    flat = [
+        (fe, str(out_dir.parent.parent / fe["path"]))
+        for fl in out_files.values()
+        for fe in fl
+    ]
+
+    def one(item):
+        fe, path = item
+        t = pq.read_table(path, columns=list(keys))
+        bits = bytearray(BLOOM_BITS // 8)
+        cols = [t[k].to_pylist() for k in keys]
+        for vals in zip(*cols) if cols else []:
+            for p in _bloom_positions(vals):
+                bits[p >> 3] |= 1 << (p & 7)
+        fe["bloom"] = base64.b64encode(bytes(bits)).decode()
+
+    with ThreadPoolExecutor(max_workers=min(16, max(len(flat), 1))) as ex:
+        list(ex.map(one, flat))
+
+
+def _bloom_prune_files(snap: dict, touched, key_rows) -> tuple[set[str], int, int] | None:
+    """Decide-scan file subset: keep files whose bloom may contain ANY
+    winner key (or that carry no bloom).  Returns (subset, scanned,
+    total), or None when nothing can be skipped."""
+    import base64
+
+    import numpy as np
+
+    # (nkeys, K) bit positions; a key POSSIBLY hits a file iff ALL its K
+    # positions are set in that file's bloom (no false negatives); the
+    # file must be scanned iff ANY key possibly hits
+    idx = np.array(
+        [_bloom_positions(tuple(r)) for r in key_rows], dtype=np.int64
+    )
+    byte_idx, bit_mask = idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+    keep: set[str] = set()
+    total = skipped = 0
+    for b in touched:
+        for fe in snap["buckets"].get(str(b), []):
+            total += 1
+            blm = fe.get("bloom")
+            if blm is None:
+                keep.add(fe["path"])
+                continue
+            bits = np.frombuffer(base64.b64decode(blm), dtype=np.uint8)
+            hit = ((bits[byte_idx] & bit_mask) != 0).all(axis=1).any()
+            if bool(hit):
+                keep.add(fe["path"])
+            else:
+                skipped += 1
+    if not skipped:
+        return None
+    return keep, total - skipped, total
+
 
 class CommitConflict(Exception):
     """A concurrent commit changed the table in a way this merge cannot
@@ -119,6 +221,10 @@ class CommitResult:
     # event_seq_min / event_seq_max (the north rule's "per-partition
     # lineage rows: event-range, offsets, row counts")
     bucket_stats: list[dict] | None = None
+    # decide-phase scan accounting (bloom pruning observability):
+    # files actually scanned / files in the touched buckets
+    decide_files_scanned: int | None = None
+    decide_files_total: int | None = None
 
 
 def _action_counts(
@@ -567,18 +673,47 @@ def _merge_once(
                 return df
             return project_to(df, cur_schema, schema, passthrough=("_deleted",))
 
+        use_broadcast = (
+            0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS
+            and est_broadcast_bytes <= SLIM_DEDUPE_MAX_BYTES
+        )
+
+        # bloom pruning of the DECIDE scan (see the bloom section above).
+        # Broadcast path only: its keep side re-links unscanned files;
+        # the SMJ path rewrites whole buckets and must see every row.
+        decide_subset = None
+        if (
+            _BLOOMS_ENABLED
+            and use_broadcast
+            and distinct_keys <= BLOOM_PROBE_MAX_KEYS
+            and any(
+                "bloom" in fe
+                for b in touched
+                for fe in snap["buckets"].get(str(b), [])
+            )
+        ):
+            key_rows = winners_slim.select(*keys).collect()
+            pruned = _bloom_prune_files(snap, touched, key_rows)
+            if pruned is not None:
+                decide_subset, decide_scanned, decide_total = pruned
+        if decide_subset is None:
+            decide_scanned = decide_total = sum(
+                len(snap["buckets"].get(str(b), [])) for b in touched
+            )
+
         # tombstones included: a newer delete must outrank a stale upsert
-        current = _project(table.read(buckets=touched, include_tombstones=True))
+        current = _project(
+            table.read(
+                buckets=touched, include_tombstones=True, file_subset=decide_subset
+            )
+        )
 
         vals = [c for c in schema.names() if c not in keys]
         # _action is written into the data files (tiny, dictionary-encoded)
         # and read back by a pruned single-column scan for the MERGE stats —
         # explicit-schema reads make it invisible to table queries, exactly
         # like the _deleted tombstone flag.
-        if (
-            0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS
-            and est_broadcast_bytes <= SLIM_DEDUPE_MAX_BYTES
-        ):
+        if use_broadcast:
             def read_matched(fnames):
                 rel = _rel_paths(table.path, fnames)
                 keeps_src = _project(
@@ -633,6 +768,10 @@ def _merge_once(
                 if p.name.endswith(".parquet")
             ]
             out_files[b] = [{"path": p, "sv": schema.version} for p in files]
+        if _BLOOMS_ENABLED and 0 < rows_in <= BLOOM_COMMIT_MAX_ROWS:
+            # small commit: attach key blooms so LATER small epochs can
+            # skip scanning these files in their decide phase
+            _build_file_blooms(out_dir, out_files, keys)
         _mark("write")
 
         if out_files:
@@ -712,6 +851,8 @@ def _merge_once(
                 event_seq_max=seq_hi,
                 touched_buckets=len(touched),
                 bucket_stats=bucket_stats,
+                decide_files_scanned=decide_scanned if touched else 0,
+                decide_files_total=decide_total if touched else 0,
             )
         # lost the CAS — someone else published base+1
         latest = table.current_snapshot()
