@@ -176,8 +176,10 @@ def _agg_count(spark, sf):
 
 
 def _agg_basic(spark, sf):
-    """A1 (count per group) + A2 (sum/avg/min/max) + A6 (filtered agg) in
-    one pass — fused so all three §2 rows share a driver-board seat."""
+    """A1 (count per group) + A2 (sum/avg/min/max) + A3 (count-distinct) +
+    A6 (filtered agg) in one pass — fused so all four §2 rows share a
+    driver-board seat (the standalone agg_distinct variant on orders stays
+    past position 50 for redundant mirror coverage)."""
     li = _t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -188,6 +190,8 @@ def _agg_basic(spark, sf):
         F.count_if(F.col("l_quantity") > 30).alias("n_bulk"),
         F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0)), 2
                 ).alias("discounted_rev"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
     )
 
 
@@ -303,6 +307,15 @@ def _set_except(spark, sf):
     return c.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
         s.select(F.col("s_nationkey").alias("nationkey"))
     ).distinct()
+
+
+def _set_ops(spark, sf):
+    """O3 + O4 fused into one driver-board seat: a tagged union of the
+    union-distinct and except-distinct results over the same two scans
+    (the standalone variants stay past position 50)."""
+    u = _set_union(spark, sf).select(F.lit("union").alias("op"), "nationkey")
+    e = _set_except(spark, sf).select(F.lit("except").alias("op"), "nationkey")
+    return u.unionByName(e)
 
 
 def _str_funcs(spark, sf):
@@ -496,8 +509,20 @@ def _knn_cosine(spark, sf):
     return cosine_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
 
 
-def _knn_lsh(spark, sf):  # rows-only: hyperplane sketch not ANSI-SQL
+def _knn_lsh(spark, sf):
     return lsh_ann_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
+
+
+def _knn_ann(spark, sf):
+    """Exact brute-force cosine top-k + LSH-bucketed ANN fused into one
+    tagged-union driver-board row — both share the embeddings scan; the
+    standalone variants stay past position 50."""
+    emb = _t(spark, sf, "embeddings")
+    exact = cosine_topk(emb, query_id=0, k=10).select(
+        F.lit("exact").alias("method"), "vec_id", "cos_sim")
+    lsh = lsh_ann_topk(emb, query_id=0, k=10).select(
+        F.lit("lsh").alias("method"), "vec_id", "cos_sim")
+    return exact.unionByName(lsh)
 
 
 def _knn_ivf(spark, sf):
@@ -565,6 +590,17 @@ def _corpus_sample_quota(spark, sf):
 
     d = _t(spark, sf, "documents")
     return stratified_quota_sample(d, 30, strata_col="lang").select("doc_id", "lang")
+
+
+def _corpus_sample(spark, sf):
+    """Both deterministic samplers fused into one tagged-union driver-board
+    row: the shuffle-free per-language fraction filter and the exact-quota
+    per-language pick (the standalone variants stay past position 50)."""
+    frac = _corpus_sample_frac(spark, sf).select(
+        F.lit("frac").alias("mode"), "doc_id", "lang")
+    quota = _corpus_sample_quota(spark, sf).select(
+        F.lit("quota").alias("mode"), "doc_id", "lang")
+    return frac.unionByName(quota)
 
 
 def _corpus_decontaminate(spark, sf):
@@ -901,9 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": _join_semi,
         "join_range": _join_range,
         "asof_latest": _asof_latest,
-        # -- aggregations (A1+A2+A6 fused in agg_basic; A3-A5)
+        # -- aggregations (A1+A2+A3+A6 fused in agg_basic; A4-A5)
         "agg_basic": _agg_basic,
-        "agg_distinct": _agg_distinct,
         "agg_rollup": _agg_rollup,
         "agg_collect": _agg_collect,
         # -- windows (W1-W4)
@@ -911,10 +946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": _window_rank,
         "window_lag": _window_lag,
         "window_running": _window_running,
-        # -- order / set ops (O1-O4)
+        # -- order / set ops (O1-O4; O3+O4 fused in set_ops)
         "sort_limit": _sort_limit,
-        "set_union": _set_union,
-        "set_except": _set_except,
+        "set_ops": _set_ops,
         # -- §2.8 function families (hash fused into str_funcs)
         "str_funcs": _str_funcs,
         "date_funcs": _date_funcs,
@@ -932,12 +966,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
-        # -- ANN
-        "knn_cosine": _knn_cosine,
-        "knn_lsh": _knn_lsh,
+        # -- ANN (exact + LSH fused in knn_ann)
+        "knn_ann": _knn_ann,
         # -- text (four per-doc rows fused into one scan + the per-lang agg)
         "text_analysis": _text_analysis,
         "text_token_stats": _text_token_stats,
+        # -- LLM-corpus pipeline ops (samplers fused in corpus_sample)
+        "corpus_sample": _corpus_sample,
+        "corpus_pack": _corpus_pack,
+        "corpus_decontaminate": _corpus_decontaminate,
         # -- end-to-end CDC engine queries (the build's core)
         "cdc_replay_e2e": _cdc_replay_e2e,
         "cdc_changes": _cdc_changes,
@@ -950,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+ : redundant-coverage / rows-only variants ----
         "join_anti": _join_anti,
         "agg_count": _agg_count,
+        "agg_distinct": _agg_distinct,
         "agg_filtered": _agg_filtered,
         "agg_cube": _agg_cube,
         "agg_grouping_sets": _agg_grouping_sets,
@@ -961,11 +999,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_fingerprint": _text_fingerprint,
         "text_token_bpe": _text_token_bpe,
+        "set_union": _set_union,
+        "set_except": _set_except,
+        "knn_cosine": _knn_cosine,
+        "knn_lsh": _knn_lsh,
         "knn_ivf": _knn_ivf,
         "corpus_sample_frac": _corpus_sample_frac,
         "corpus_sample_quota": _corpus_sample_quota,
-        "corpus_pack": _corpus_pack,
-        "corpus_decontaminate": _corpus_decontaminate,
     }
 
 
@@ -1085,6 +1125,29 @@ WHERE bit_count(xor(sa.sim, sb.sim)) <= {max_hamming}
 """
 
 
+def _corpus_sample_frac_oracle_sql() -> str:
+    # same deterministic hash coordinate as Spark's md5_60bit
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + _duck_md5i("doc_id::VARCHAR || ':42'")
+        + " < CASE lang "
+        + " ".join(
+            f"WHEN '{v}' THEN {int(f * (1 << 60))}"
+            for v, f in sorted(_MIX_FRACS.items())
+        )
+        + " ELSE 0 END"
+    )
+
+
+def _corpus_sample_quota_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER ("
+        "PARTITION BY lang ORDER BY "
+        + _duck_md5i("doc_id::VARCHAR || ':42'")
+        + ", doc_id) AS rn FROM documents) WHERE rn <= 30"
+    )
+
+
 def _knn_lsh_oracle_sql(query_id: int = 0, k: int = 10, dim: int = 64,
                         planes: int = 12, probe_hamming: int = 2,
                         seed: int = 42) -> str:
@@ -1172,7 +1235,10 @@ def oracle_sql() -> dict[str, str]:
             "round(max(l_tax), 2) AS max_tax, count(*) AS n, "
             "count(*) FILTER (WHERE l_quantity > 30) AS n_bulk, "
             "round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) "
-            "AS discounted_rev FROM lineitem GROUP BY l_returnflag"
+            "AS discounted_rev, "
+            "count(DISTINCT l_partkey) AS n_parts, "
+            "count(DISTINCT l_suppkey) AS n_supps "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "agg_distinct": (
             "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs, "
@@ -1233,6 +1299,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT nationkey FROM ("
             "  SELECT c_nationkey AS nationkey FROM customer "
             "  EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier)"
+        ),
+        "set_ops": (
+            "SELECT 'union' AS op, nationkey FROM ("
+            "  SELECT DISTINCT nationkey FROM ("
+            "    SELECT c_nationkey AS nationkey FROM customer "
+            "    UNION ALL SELECT s_nationkey AS nationkey FROM supplier)) "
+            "UNION ALL "
+            "SELECT 'except' AS op, nationkey FROM ("
+            "  SELECT DISTINCT nationkey FROM ("
+            "    SELECT c_nationkey AS nationkey FROM customer "
+            "    EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier))"
         ),
         "str_funcs": (
             "SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len, "
@@ -1346,22 +1423,14 @@ def oracle_sql() -> dict[str, str]:
             "AS cos_sim FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"
         ),
-        "corpus_sample_frac": (
-            # same deterministic hash coordinate as Spark's md5_60bit
-            "SELECT doc_id, lang FROM documents WHERE "
-            + _duck_md5i("doc_id::VARCHAR || ':42'")
-            + " < CASE lang "
-            + " ".join(
-                f"WHEN '{v}' THEN {int(f * (1 << 60))}"
-                for v, f in sorted(_MIX_FRACS.items())
-            )
-            + " ELSE 0 END"
-        ),
-        "corpus_sample_quota": (
-            "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER ("
-            "PARTITION BY lang ORDER BY "
-            + _duck_md5i("doc_id::VARCHAR || ':42'")
-            + ", doc_id) AS rn FROM documents) WHERE rn <= 30"
+        "corpus_sample_frac": _corpus_sample_frac_oracle_sql(),
+        "corpus_sample_quota": _corpus_sample_quota_oracle_sql(),
+        "corpus_sample": (
+            "SELECT 'frac' AS mode, doc_id, lang FROM ("
+            + _corpus_sample_frac_oracle_sql()
+            + ") UNION ALL SELECT 'quota' AS mode, doc_id, lang FROM ("
+            + _corpus_sample_quota_oracle_sql()
+            + ")"
         ),
         "corpus_decontaminate": (
             # same 5-gram construction as the Spark side (minhash oracle's
@@ -1474,6 +1543,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
+        "knn_ann": (
+            "SELECT 'exact' AS method, vec_id, cos_sim FROM ("
+            "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.embedding), 4) "
+            "AS cos_sim FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+            "WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"
+            ") UNION ALL SELECT 'lsh' AS method, vec_id, cos_sim FROM ("
+            + _knn_lsh_oracle_sql() + ")"
+        ),
         # end-to-end engine queries: the oracle recomputes the LWW-converged
         # table state (and the second epoch's changelog) in pure SQL
         "cdc_replay_e2e": (
