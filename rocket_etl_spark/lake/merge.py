@@ -112,7 +112,147 @@ _BCAST_ROW_OVERHEAD = 64
 BLOOM_BITS = 1 << 13  # 8192 bits = 1 KB per file entry, ~2% fp at 1k keys
 BLOOM_COMMIT_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_BLOOM_MAX_ROWS", 250_000))
 BLOOM_PROBE_MAX_KEYS = int(_os.environ.get("SPARK_GRAFT_BLOOM_PROBE_KEYS", 20_000))
+# per-FILE row cap: a broadcast merge with a small batch can still rewrite
+# a matched file holding millions of rows — blooming it would stall the
+# driver on a full pyarrow key read AND saturate the 1 KB bloom into
+# uselessness (fill^8 → ~1 past ~2k distinct keys).  Checked from parquet
+# footer metadata only; oversized files simply carry no bloom (= always
+# scanned — conservative, never wrong).
+BLOOM_FILE_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_BLOOM_FILE_ROWS", 2048))
 _BLOOMS_ENABLED = _os.environ.get("SPARK_GRAFT_FILE_BLOOMS", "1") != "0"
+
+# Blooms hash the canonical string of each key value, so only dtypes whose
+# Python value is IDENTICAL between the write side (pyarrow ``to_pylist``)
+# and the probe side (Spark ``collect``) may participate: str/int/date/bool
+# round-trip exactly, and binary is canonicalized to hex on both sides.
+# Timestamps (tz-aware parquet read-back vs session-naive collect), floats
+# and decimals (repr/scale edge cases) are gated OUT — a representation
+# mismatch there would be a bloom FALSE NEGATIVE: a silently skipped file
+# that really held a winner key, i.e. a wrong merge.
+_BLOOM_SAFE_DTYPES = {
+    "string", "varchar", "char", "tinyint", "smallint", "int", "integer",
+    "bigint", "long", "date", "boolean", "binary",
+}
+
+
+def _bloom_safe_keys(schema, keys) -> bool:
+    try:
+        return all(
+            schema.field_by_name(k).dtype.lower().split("(")[0].strip()
+            in _BLOOM_SAFE_DTYPES
+            for k in keys
+        )
+    except Exception:
+        return False
+
+
+# ---- per-file key zone maps: range pruning past the bloom caps ---------
+# Blooms cap out (BLOOM_FILE_MAX_ROWS per file, BLOOM_PROBE_MAX_KEYS per
+# epoch) because they cost a key-column data read to build and k hashes
+# per probe key.  Zone maps — per-file MIN/MAX of each key column — are
+# free at both ends: built from parquet FOOTER statistics only (no data
+# read, so every file of any size gets one) and probed with two bisects
+# per (file, key column) over the sorted winner values.  A file whose
+# range provably excludes every winner key column-wise cannot contain a
+# winner row (per-column exclusion ⇒ tuple exclusion), so skipping it is
+# safe; overlap is merely a false positive (file scanned anyway).  This
+# is the same trick as Iceberg's manifest-entry column bounds.
+RANGE_PROBE_MAX_KEYS = int(_os.environ.get("SPARK_GRAFT_RANGE_PROBE_KEYS", 200_000))
+_RANGES_ENABLED = _os.environ.get("SPARK_GRAFT_FILE_RANGES", "1") != "0"
+
+_INT_DTYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+
+
+def _range_canon(v, dt: str):
+    """Canonical ORDER-PRESERVING, JSON-storable encoding of a key value,
+    identical for pyarrow footer statistics and Spark collect() rows:
+    ints stay ints; dates → ISO strings (sort like dates); binary → hex
+    (hex lexicographic == byte order); strings as-is (UTF-8 byte order ==
+    code-point order).  Unsafe dtypes never reach here (_bloom_safe_keys
+    gates both build and probe)."""
+    if v is None:
+        return None
+    if dt in _INT_DTYPES:
+        return int(v)
+    if dt == "boolean":
+        return int(bool(v))
+    if dt == "binary":
+        return bytes(v).hex()
+    if dt == "date":
+        return v if isinstance(v, str) else v.isoformat()
+    return str(v)
+
+
+def _build_file_ranges(out_dir, out_files: dict[int, list[dict]], keys, schema) -> None:
+    """Attach a ``kr`` zone map ({key: [min, max]}) to every just-written
+    file entry, from parquet footer metadata only — no row cap needed.
+    Columns with null keys or absent statistics get no entry (the probe
+    treats a missing bound as 'may contain anything')."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    dts = {k: schema.field_by_name(k).dtype.lower().split("(")[0].strip() for k in keys}
+    flat = [
+        (fe, str(out_dir.parent.parent / fe["path"]))
+        for fl in out_files.values()
+        for fe in fl
+    ]
+
+    def one(item):
+        fe, path = item
+        md = pq.ParquetFile(path).metadata
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        ok = set(keys)
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            seen = set()
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in ok:
+                    continue
+                st = col.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or st.null_count is None  # unknown ⇒ conservative
+                    or st.null_count > 0
+                ):
+                    ok.discard(name)  # no bound ⇒ never prune on this col
+                    continue
+                mn, mx = _range_canon(st.min, dts[name]), _range_canon(st.max, dts[name])
+                if name not in lo or mn < lo[name]:
+                    lo[name] = mn
+                if name not in hi or mx > hi[name]:
+                    hi[name] = mx
+                seen.add(name)
+            ok &= seen
+        kr = {k: [lo[k], hi[k]] for k in ok if k in lo}
+        if kr:
+            fe["kr"] = kr
+
+    with ThreadPoolExecutor(max_workers=min(16, max(len(flat), 1))) as ex:
+        list(ex.map(one, flat))
+
+
+def _range_hit(fe: dict, sorted_vals: dict[str, list]) -> bool:
+    """True iff the file MAY contain some winner key: every zone-mapped
+    key column has at least one winner value inside [min, max]."""
+    from bisect import bisect_left
+
+    kr = fe.get("kr")
+    if not kr:
+        return True
+    for k, (mn, mx) in kr.items():
+        vals = sorted_vals.get(k)
+        if vals is None:
+            continue
+        i = bisect_left(vals, mn)
+        if i >= len(vals) or vals[i] > mx:
+            return False  # no winner value of k in range ⇒ no tuple fits
+    return True
 
 
 _BLOOM_K = 8  # hash positions per key: false-hit ≈ fill^8, so a probe of
@@ -126,7 +266,16 @@ def _bloom_positions(key_vals) -> list[int]:
     rows) can never disagree.  NULL key parts get a reserved token."""
     import hashlib
 
-    s = "\x1f".join("\x00" if v is None else str(v) for v in key_vals)
+    def canon(v):
+        if v is None:
+            return "\x00"
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return "b:" + bytes(v).hex()  # Spark collect yields bytearray,
+            #                               pyarrow yields bytes — str() of
+            #                               those differ; hex agrees
+        return str(v)
+
+    s = "\x1f".join(canon(v) for v in key_vals)
     d = hashlib.md5(s.encode()).digest() + hashlib.md5(s.encode() + b"#").digest()
     return [
         int.from_bytes(d[4 * i : 4 * i + 4], "big") % BLOOM_BITS
@@ -151,7 +300,10 @@ def _build_file_blooms(out_dir, out_files: dict[int, list[dict]], keys) -> None:
 
     def one(item):
         fe, path = item
-        t = pq.read_table(path, columns=list(keys))
+        pf = pq.ParquetFile(path)
+        if pf.metadata.num_rows > BLOOM_FILE_MAX_ROWS:
+            return  # footer-only check: no key read, no saturated bloom
+        t = pf.read(columns=list(keys))
         bits = bytearray(BLOOM_BITS // 8)
         cols = [t[k].to_pylist() for k in keys]
         for vals in zip(*cols) if cols else []:
@@ -163,33 +315,56 @@ def _build_file_blooms(out_dir, out_files: dict[int, list[dict]], keys) -> None:
         list(ex.map(one, flat))
 
 
-def _bloom_prune_files(snap: dict, touched, key_rows) -> tuple[set[str], int, int] | None:
-    """Decide-scan file subset: keep files whose bloom may contain ANY
-    winner key (or that carry no bloom).  Returns (subset, scanned,
-    total), or None when nothing can be skipped."""
+def _prune_decide_files(
+    snap: dict, touched, key_rows, keys, schema,
+    blooms: bool = True, ranges: bool = True,
+) -> tuple[set[str], int, int] | None:
+    """Decide-scan file subset: keep files that MAY contain a winner key
+    per their bloom AND per their zone map (each independently has no
+    false negatives, so either proof of absence suffices to skip).
+    Files carrying neither pruner are always kept.  Returns (subset,
+    scanned, total), or None when nothing can be skipped."""
     import base64
 
     import numpy as np
 
-    # (nkeys, K) bit positions; a key POSSIBLY hits a file iff ALL its K
-    # positions are set in that file's bloom (no false negatives); the
-    # file must be scanned iff ANY key possibly hits
-    idx = np.array(
-        [_bloom_positions(tuple(r)) for r in key_rows], dtype=np.int64
-    )
-    byte_idx, bit_mask = idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+    byte_idx = bit_mask = None
+    if blooms:
+        # (nkeys, K) bit positions; a key POSSIBLY hits a file iff ALL its
+        # K positions are set in that file's bloom (no false negatives);
+        # the file must be scanned iff ANY key possibly hits
+        idx = np.array(
+            [_bloom_positions(tuple(r)) for r in key_rows], dtype=np.int64
+        )
+        byte_idx, bit_mask = idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+    sorted_vals: dict[str, list] = {}
+    if ranges:
+        dts = {
+            k: schema.field_by_name(k).dtype.lower().split("(")[0].strip()
+            for k in keys
+        }
+        for i, k in enumerate(keys):
+            vals = [_range_canon(r[i], dts[k]) for r in key_rows]
+            sorted_vals[k] = sorted(v for v in vals if v is not None)
+            if len(sorted_vals[k]) < len(vals):
+                # a NULL winner key part matches no table row under join
+                # semantics, but don't let it perturb the bounds check
+                del sorted_vals[k]
     keep: set[str] = set()
     total = skipped = 0
     for b in touched:
         for fe in snap["buckets"].get(str(b), []):
             total += 1
-            blm = fe.get("bloom")
-            if blm is None:
-                keep.add(fe["path"])
-                continue
-            bits = np.frombuffer(base64.b64decode(blm), dtype=np.uint8)
-            hit = ((bits[byte_idx] & bit_mask) != 0).all(axis=1).any()
-            if bool(hit):
+            hit = True
+            if ranges and not _range_hit(fe, sorted_vals):
+                hit = False
+            blm = fe.get("bloom") if (hit and blooms) else None
+            if blm is not None:
+                bits = np.frombuffer(base64.b64decode(blm), dtype=np.uint8)
+                hit = bool(
+                    ((bits[byte_idx] & bit_mask) != 0).all(axis=1).any()
+                )
+            if hit:
                 keep.add(fe["path"])
             else:
                 skipped += 1
@@ -678,22 +853,35 @@ def _merge_once(
             and est_broadcast_bytes <= SLIM_DEDUPE_MAX_BYTES
         )
 
-        # bloom pruning of the DECIDE scan (see the bloom section above).
-        # Broadcast path only: its keep side re-links unscanned files;
-        # the SMJ path rewrites whole buckets and must see every row.
+        # bloom + zone-map pruning of the DECIDE scan (see the sections
+        # above).  Broadcast path only: its keep side re-links unscanned
+        # files; the SMJ path rewrites whole buckets and must see every
+        # row.  Blooms gate at BLOOM_PROBE_MAX_KEYS (k hashes per key);
+        # zone maps stretch to RANGE_PROBE_MAX_KEYS (two bisects/file).
         decide_subset = None
-        if (
+        touched_entries = [
+            fe for b in touched for fe in snap["buckets"].get(str(b), [])
+        ]
+        probe_blooms = (
             _BLOOMS_ENABLED
-            and use_broadcast
             and distinct_keys <= BLOOM_PROBE_MAX_KEYS
-            and any(
-                "bloom" in fe
-                for b in touched
-                for fe in snap["buckets"].get(str(b), [])
-            )
+            and any("bloom" in fe for fe in touched_entries)
+        )
+        probe_ranges = (
+            _RANGES_ENABLED
+            and distinct_keys <= RANGE_PROBE_MAX_KEYS
+            and any("kr" in fe for fe in touched_entries)
+        )
+        if (
+            use_broadcast
+            and (probe_blooms or probe_ranges)
+            and _bloom_safe_keys(cur_schema, keys)
         ):
             key_rows = winners_slim.select(*keys).collect()
-            pruned = _bloom_prune_files(snap, touched, key_rows)
+            pruned = _prune_decide_files(
+                snap, touched, key_rows, keys, cur_schema,
+                blooms=probe_blooms, ranges=probe_ranges,
+            )
             if pruned is not None:
                 decide_subset, decide_scanned, decide_total = pruned
         if decide_subset is None:
@@ -768,10 +956,17 @@ def _merge_once(
                 if p.name.endswith(".parquet")
             ]
             out_files[b] = [{"path": p, "sv": schema.version} for p in files]
-        if _BLOOMS_ENABLED and 0 < rows_in <= BLOOM_COMMIT_MAX_ROWS:
+        if (
+            _BLOOMS_ENABLED
+            and 0 < rows_in <= BLOOM_COMMIT_MAX_ROWS
+            and _bloom_safe_keys(schema, keys)
+        ):
             # small commit: attach key blooms so LATER small epochs can
             # skip scanning these files in their decide phase
             _build_file_blooms(out_dir, out_files, keys)
+        if _RANGES_ENABLED and out_files and _bloom_safe_keys(schema, keys):
+            # every commit, every file size: zone maps are footer-only
+            _build_file_ranges(out_dir, out_files, keys, schema)
         _mark("write")
 
         if out_files:

@@ -28,10 +28,23 @@ quadratic).
 
 from __future__ import annotations
 
+import os as _os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from rocket_etl_spark.operators.dedup import shingle_frame
+
+# The final corpus-minus-flagged join broadcasts the contaminated-id set
+# — but "tiny" is an assumption, not a property: a heavily contaminated
+# corpus (or an n too small for the eval set) makes it arbitrarily
+# large, and an unconditional broadcast hint then fights the planner
+# and can OOM the driver.  Gate it the way the MERGE gates its
+# broadcast: a bounded collect — ≤ cap rows come back, we KNOW the set
+# is small AND already hold it driver-side (no recompute for the
+# build side); > cap rows, fall back to an un-hinted join and let
+# AQE pick the strategy from measured sizes.
+BROADCAST_IDS_MAX = int(_os.environ.get("SPARK_GRAFT_DECONTAM_BCAST_IDS", 500_000))
 
 
 def _gram_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -82,9 +95,24 @@ def decontaminate(
     n: int = 13,
     min_shared: int = 1,
     broadcast_bench: bool = True,
+    broadcast_ids_max: int | None = None,
 ) -> DataFrame:
-    """The corpus minus contaminated docs (all input columns kept)."""
+    """The corpus minus contaminated docs (all input columns kept).
+
+    ``broadcast_ids_max`` (default ``BROADCAST_IDS_MAX``, env
+    ``SPARK_GRAFT_DECONTAM_BCAST_IDS``; 0 disables the fast path) bounds
+    the broadcast of the contaminated-id set: at most that many ids are
+    collected eagerly — within the bound, the corpus-side anti-join is a
+    pure map-side broadcast against the already-collected ids (the
+    corpus NEVER shuffles); past it, the join is left un-hinted so AQE
+    chooses from measured sizes instead of an assumption."""
     flagged = contaminated_ids(
         corpus, benchmark, text_col, id_col, n, min_shared, broadcast_bench
     )
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    cap = BROADCAST_IDS_MAX if broadcast_ids_max is None else broadcast_ids_max
+    if cap > 0:
+        head = flagged.limit(cap + 1).collect()
+        if len(head) <= cap:
+            local = corpus.sparkSession.createDataFrame(head, schema=flagged.schema)
+            return corpus.join(F.broadcast(local), id_col, "left_anti")
+    return corpus.join(flagged, id_col, "left_anti")

@@ -119,12 +119,31 @@ def pack_sequences(
 ) -> DataFrame:
     """Pack ``df`` into ≤``budget``-weight bins per ``part_col`` value,
     greedy in ``id_col`` order.  Returns (part, bin_id, doc_ids, n_docs,
-    total_tokens) — one row per bin."""
+    total_tokens) — one row per bin.
+
+    Long-lived-session hygiene: the UDTF name is STABLE per
+    (budget, cols) — re-registering replaces, so streaming/bench loops
+    don't grow the function registry — and the input temp view is
+    dropped as soon as the plan is analyzed (``spark.sql`` resolves the
+    view eagerly; the returned DataFrame keeps the resolved relation).
+    The handler is per-row by contract (a sequential fold), but the
+    row EXCHANGE to the Python worker is Arrow-batched
+    (``spark.sql.execution.pythonUDTF.arrow.enabled``) — at corpus
+    scale the pickled-row serialization delta is real."""
+    import hashlib
+
     spark = df.sparkSession
-    tag = uuid.uuid4().hex[:12]
-    fn, view = f"pack_seq_{tag}", f"pack_in_{tag}"
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    cfg = hashlib.md5(
+        f"{budget}|{part_col}|{id_col}|{weight_col}".encode()
+    ).hexdigest()[:12]
+    fn = f"pack_seq_{cfg}"
+    view = f"pack_in_{uuid.uuid4().hex[:12]}"  # per-call: concurrent-safe
     spark.udtf.register(fn, make_pack_udtf(budget, part_col, id_col, weight_col))
     df.createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT * FROM {fn}(TABLE({view}) PARTITION BY {part_col} ORDER BY {id_col})"
-    )
+    try:
+        return spark.sql(
+            f"SELECT * FROM {fn}(TABLE({view}) PARTITION BY {part_col} ORDER BY {id_col})"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

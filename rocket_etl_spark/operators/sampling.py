@@ -78,11 +78,36 @@ def stratified_quota_sample(
     strata_col: str,
     id_col: str = "doc_id",
     seed: int = 42,
+    max_stratum_rows: int | None = None,
 ) -> DataFrame:
     """EXACTLY ``quota`` rows per stratum (fewer if the stratum is
     smaller), chosen as the quota lowest sampling hashes — deterministic
     and prefix-consistent across quota sizes.  One shuffle (by stratum)
-    + per-stratum sort; strata sort in parallel."""
+    + per-stratum sort; strata sort in parallel.
+
+    A single GIANT stratum serializes into one task (WindowGroupLimit
+    bounds its input to ~quota rows per upstream partition, but the
+    per-stratum merge is still one task).  Pass ``max_stratum_rows`` to
+    pre-flight that sharp edge: one cheap map-side-combined count per
+    stratum, raising with the offending strata if any exceeds the bound
+    — the fix is ``hash_fraction_sample``, whose per-stratum filter
+    never shuffles at all."""
+    if max_stratum_rows is not None:
+        big = (
+            df.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_stratum_rows)
+            .collect()
+        )
+        if big:
+            detail = ", ".join(f"{r[0]!r}={r['_n']}" for r in big)
+            raise ValueError(
+                f"stratified_quota_sample: strata exceed max_stratum_rows="
+                f"{max_stratum_rows} ({detail}); an exact quota over a "
+                "stratum this large funnels into one task's sort — use "
+                "hash_fraction_sample (shuffle-free) with frac ≈ "
+                "quota/|stratum| instead"
+            )
     # NULLS LAST on both keys: Spark windows default to NULLS FIRST while
     # DuckDB (and the SQL oracle) default to NULLS LAST — a NULL id must
     # never displace a real doc from the quota prefix in one engine only

@@ -18,16 +18,19 @@ from rocket_etl_spark.oracle import replay_oracle
 from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_batch
 
 
-def _replay(spark, path, batches, blooms: bool):
-    old = M._BLOOMS_ENABLED
+def _replay(spark, path, batches, blooms: bool, ranges: bool | None = None):
+    """ranges defaults to following `blooms` so the pruning-off leg is
+    truly pruning-off (zone maps would otherwise still skip files)."""
+    old_b, old_r = M._BLOOMS_ENABLED, M._RANGES_ENABLED
     M._BLOOMS_ENABLED = blooms
+    M._RANGES_ENABLED = blooms if ranges is None else ranges
     try:
         t = create_repo_files_table(spark, path, num_buckets=4)
         res = [replay_batch(t, b, epoch_id=i) for i, b in enumerate(batches)]
         state = t.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
         return t, res, state
     finally:
-        M._BLOOMS_ENABLED = old
+        M._BLOOMS_ENABLED, M._RANGES_ENABLED = old_b, old_r
 
 
 def test_bloom_pruning_skips_files_and_preserves_state(spark, tmp_path):

@@ -82,3 +82,47 @@ def test_decontaminate_no_corpus_shuffle(spark):
 
     exchanges = re.findall(r"(?<!Broadcast)Exchange (\w+)", plan)
     assert all(e in ("RoundRobinPartitioning", "hashpartitioning") for e in exchanges)
+
+def test_decontaminate_broadcast_gate_fallback(spark):
+    """The flagged-id broadcast is bounded: a cap smaller than the flagged
+    set must route to the un-hinted fallback join (AQE decides) and still
+    return the identical survivor set; cap=0 disables the fast path."""
+    corpus, bench = _dfs(spark)
+    expect = [2, 4, 5]
+    # fast path (default cap): collected ids, broadcast local relation
+    fast = sorted(r.doc_id for r in decontaminate(corpus, bench, n=5).collect())
+    # fallback: 2 flagged ids > cap of 1
+    slow = sorted(
+        r.doc_id
+        for r in decontaminate(corpus, bench, n=5, broadcast_ids_max=1).collect()
+    )
+    off = sorted(
+        r.doc_id
+        for r in decontaminate(corpus, bench, n=5, broadcast_ids_max=0).collect()
+    )
+    assert fast == slow == off == expect
+    # fallback plan carries no forced broadcast of the flagged side: the
+    # ONLY hint left is the bench-gram broadcast inside contaminated_ids
+    # (the final anti-join is left to the planner)
+    plan = (
+        decontaminate(corpus, bench, n=5, broadcast_ids_max=1)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert plan.count("ResolvedHint") == 1
+
+
+def test_decontaminate_broadcast_regime_corpus_never_shuffles(spark):
+    """In the gated broadcast regime the final anti-join build side is a
+    pre-collected LocalRelation — the corpus payload reaches it with no
+    Exchange at all (scan → broadcast anti-join, one stage)."""
+    corpus, bench = _dfs(spark)
+    df = decontaminate(corpus, bench, n=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # final join is a broadcast anti-join against the local id relation
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    import re
+
+    # the contaminated-id computation already ran (bounded collect); the
+    # remaining plan must contain NO non-broadcast exchange of the corpus
+    exchanges = re.findall(r"(?<!Broadcast)Exchange (\w+)", plan)
+    assert exchanges == []

@@ -78,3 +78,23 @@ def test_pack_sequences_oversize_doc_gets_own_bin(spark):
     assert list(en.doc_ids) == ["1", "2", "3"]  # oversize doc isolated
     assert list(en.total_tokens) == [100, 9000, 100]
     assert list(out[out.part == "x"].doc_ids) == ["9"]
+
+
+def test_pack_sequences_leaves_no_catalog_residue(spark):
+    """Repeated calls in a long-lived session must not grow the temp-view
+    catalog or the function registry (stable per-config UDTF name;
+    per-call input view dropped after analysis)."""
+    rows = [("en", i, 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "lang string, doc_id bigint, n_chars bigint")
+    pack_sequences(df, budget=400).collect()
+    views0 = {v.name for v in spark.catalog.listTables()}
+    fns0 = {f.name for f in spark.catalog.listFunctions() if f.name.startswith("pack_seq_")}
+    for _ in range(3):
+        pack_sequences(df, budget=400).collect()
+    views1 = {v.name for v in spark.catalog.listTables()}
+    fns1 = {f.name for f in spark.catalog.listFunctions() if f.name.startswith("pack_seq_")}
+    assert views1 == views0  # no pack_in_* views accumulate
+    assert not any(v.startswith("pack_in_") for v in views1)
+    # stable per-config registration: repeats add nothing (other configs
+    # used elsewhere in the session may already hold their own name)
+    assert fns1 == fns0

@@ -94,3 +94,24 @@ def test_fraction_sample_is_scan_stage_filter(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_quota_sample_giant_stratum_guard(spark):
+    import pytest
+
+    from rocket_etl_spark.operators.sampling import stratified_quota_sample
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "CASE WHEN id < 90 THEN 'big' ELSE 'small' END AS lang"
+    )
+    # guard off by default: no job, no error
+    assert stratified_quota_sample(df, 5, strata_col="lang").count() == 10
+    # guard on: the 90-row stratum trips a 50-row bound, naming it and
+    # pointing at the shuffle-free sampler
+    with pytest.raises(ValueError, match="'big'=90.*hash_fraction_sample"):
+        stratified_quota_sample(df, 5, strata_col="lang", max_stratum_rows=50)
+    # a bound nothing exceeds passes through
+    assert (
+        stratified_quota_sample(df, 5, strata_col="lang", max_stratum_rows=500).count()
+        == 10
+    )

@@ -127,6 +127,26 @@ spark.stop()
             runs[cores].append(r)
             print(json.dumps(r), flush=True)
 
+    # the crash-skip retry path can lose every trial of one side; emit a
+    # partial-error record instead of letting median([]) raise and throw
+    # away the surviving side's 25 minutes of measurements
+    if not runs[8] or not runs[32]:
+        result = {
+            "events": n_events,
+            "trials_per_side": trials,
+            "error": "one side lost every trial",
+            "surviving_trials": {str(c): runs[c] for c in (8, 32)},
+        }
+        print(json.dumps(result))
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        (REPO / "BENCH" / "last_run.json").write_text(
+            json.dumps(result, indent=2) + "\n"
+        )
+        import shutil
+
+        shutil.rmtree(in_dir, ignore_errors=True)
+        return
+
     def side(cores: int) -> dict:
         rates = [r["events_per_sec"] for r in runs[cores]]
         return {
@@ -155,7 +175,9 @@ spark.stop()
         "4N": s32,
         "scaling_efficiency_median": round(eff, 3),
         "paired_efficiency": paired,
-        "paired_efficiency_median": statistics.median(paired),
+        # paired can be empty when the surviving 8/32 trial ids are
+        # disjoint even though both sides have data
+        "paired_efficiency_median": statistics.median(paired) if paired else None,
     }
     print(json.dumps(result))
 
