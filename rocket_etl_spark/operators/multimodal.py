@@ -4,9 +4,11 @@ The Spark-side machinery is real and tested — schema, partition-friendly
 ``mapInPandas`` batch shape, Arrow transfer of binary columns, typed
 metadata structs.  The codec layer: **PNG decode is REAL** (stdlib
 ``zlib`` inflate + per-filter scanline reconstruction + numpy luma — no
-image libraries needed); JPEG/audio/video decode would need PIL/ffmpeg
-(absent in this container) and raise ``NotImplementedError`` unless
-``fake=True`` routes them through the deterministic fake decoder.
+image libraries needed) and **WAV decode is REAL** (stdlib ``struct``
+RIFF chunk walk + numpy PCM/float normalization); JPEG/compressed-audio/
+video decode would need PIL/ffmpeg (absent in this container) and raise
+``NotImplementedError`` unless ``fake=True`` routes them through the
+deterministic fake decoder.
 
 At 100 TB the pattern holds: binaries stay columnar (parquet binary +
 Arrow), decode happens executor-side in Arrow batches, and metadata-only
@@ -202,6 +204,140 @@ def decode_image_batches(
 
     cols = [id_col, bin_col] + (["media_type"] if "media_type" in df.columns else [])
     return df.select(*cols).mapInPandas(run, IMAGE_FEATURES_DDL)
+
+
+# decoded-feature schema produced by decode_audio_batches
+AUDIO_FEATURES_DDL = (
+    "asset_id bigint, media_type string, n_bytes int, "
+    "sample_rate int, n_channels int, bit_depth int, n_frames bigint, "
+    "duration_s double, mean_abs_amp double, peak_amp double"
+)
+
+
+def decode_wav(data: bytes) -> dict:
+    """Pure stdlib+numpy WAV/RIFF decode → samples + format metadata.
+
+    Walks the RIFF chunk list (word-aligned; odd-sized chunks carry a pad
+    byte), parses ``fmt `` (PCM=1: 8-bit unsigned / 16- / 32-bit signed;
+    IEEE float=3: float32/float64) and ``data``, and returns
+    ``{"sample_rate", "n_channels", "bit_depth", "frames"}`` where
+    ``frames`` is a float64 array shaped (n_frames, n_channels),
+    normalized to [-1, 1].  Compressed formats (ADPCM, MP3-in-RIFF…)
+    are a codec library's job and raise ``NotImplementedError``."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # odd chunks are padded to word size
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            payload = body
+    if fmt is None or payload is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_format, n_ch, rate, _brate, _balign, bits = fmt
+    if audio_format == 0xFFFE and len(data) >= 12:  # WAVE_FORMAT_EXTENSIBLE
+        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE needs subformat parsing")
+    if audio_format == 1:  # integer PCM
+        if bits == 8:
+            x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(payload, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits} unsupported (8/16/32)")
+    elif audio_format == 3:  # IEEE float
+        x = np.frombuffer(payload, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} needs a codec library (PCM/float only)"
+        )
+    n_ch = max(int(n_ch), 1)
+    n_frames = len(x) // n_ch
+    return {
+        "sample_rate": int(rate),
+        "n_channels": n_ch,
+        "bit_depth": int(bits),
+        "frames": x[: n_frames * n_ch].reshape(n_frames, n_ch),
+    }
+
+
+def _wav_features(payload: bytes) -> tuple[int, int, int, int, float, float, float]:
+    w = decode_wav(payload)
+    fr = w["frames"]
+    dur = fr.shape[0] / w["sample_rate"] if w["sample_rate"] else 0.0
+    a = np.abs(fr)  # amplitude stats over ALL samples, channels included
+    return (
+        w["sample_rate"],
+        w["n_channels"],
+        w["bit_depth"],
+        fr.shape[0],
+        round(float(dur), 6),
+        round(float(a.mean()), 6) if a.size else 0.0,
+        round(float(a.max()), 6) if a.size else 0.0,
+    )
+
+
+def decode_audio_batches(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "asset_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Audio twin of ``decode_image_batches``: WAV payloads decode for
+    REAL (``decode_wav`` — stdlib struct + numpy, executor-side through
+    the same Arrow-batched ``mapInPandas`` path); other audio formats
+    need ffmpeg and raise unless ``fake=True``.  NULL/empty payloads
+    yield a zero row, never a dead executor."""
+
+    out_cols = [f.split()[0] for f in AUDIO_FEATURES_DDL.split(", ")]
+    zero = (0, 0, 0, 0, 0.0, 0.0, 0.0)
+
+    def decode_one(p: bytes) -> tuple[int, int, int, int, float, float, float]:
+        if fake:
+            n = len(p)
+            return 8000 + n % 48000, 1 + n % 2, 16, n, round(n / 8000.0, 6), 0.1, 0.5
+        if not p:
+            return zero
+        if p[:4] == b"RIFF":
+            return _wav_features(p)
+        raise NotImplementedError(
+            "non-WAV audio decode requires ffmpeg (not in this container); "
+            "pass fake=True for the deterministic test decoder"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[bin_col].map(lambda p: bytes(p) if p is not None else b"")
+            decoded = payloads.map(decode_one)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].to_numpy(),
+                    "media_type": (
+                        pdf["media_type"].to_numpy()
+                        if "media_type" in pdf.columns
+                        else "unknown"
+                    ),
+                    "n_bytes": payloads.map(len).to_numpy(),
+                    "sample_rate": decoded.map(lambda t: t[0]).to_numpy(),
+                    "n_channels": decoded.map(lambda t: t[1]).to_numpy(),
+                    "bit_depth": decoded.map(lambda t: t[2]).to_numpy(),
+                    "n_frames": decoded.map(lambda t: t[3]).to_numpy(),
+                    "duration_s": decoded.map(lambda t: t[4]).to_numpy(),
+                    "mean_abs_amp": decoded.map(lambda t: t[5]).to_numpy(),
+                    "peak_amp": decoded.map(lambda t: t[6]).to_numpy(),
+                },
+                columns=out_cols,
+            )
+
+    cols = [id_col, bin_col] + (["media_type"] if "media_type" in df.columns else [])
+    return df.select(*cols).mapInPandas(run, AUDIO_FEATURES_DDL)
 
 
 def sample_frames(
