@@ -163,11 +163,16 @@ def table_stats(table: LakeTable) -> dict:
     rows = 0
     max_files = 0
     fragmented = 0
+    delta_files = 0
+    max_delta_depth = 0
     for fl in snap["buckets"].values():
         files += len(fl)
         max_files = max(max_files, len(fl))
         if len(fl) >= 2:
             fragmented += 1
+        depth = sum(1 for fe in fl if fe.get("kind") == "delta")
+        delta_files += depth
+        max_delta_depth = max(max_delta_depth, depth)
         for fe in fl:
             rows += pq.read_metadata(str(table.path / fe["path"])).num_rows
     return {
@@ -179,6 +184,10 @@ def table_stats(table: LakeTable) -> dict:
         "total_rows": rows,
         "max_files_per_bucket": max_files,
         "fragmented_buckets": fragmented,
+        # merge-on-read debt: delta files awaiting a compaction fold;
+        # max_delta_depth bounds the per-key read amplification
+        "delta_files": delta_files,
+        "max_delta_depth": max_delta_depth,
     }
 
 

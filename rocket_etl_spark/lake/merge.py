@@ -696,6 +696,231 @@ def _merge_broadcast(
     return [(changed, True), (keeps, False)], matched_rel
 
 
+def _merge_mor_commit(
+    table: LakeTable,
+    batch: DataFrame,
+    snap: dict,
+    epoch_id: int | None,
+    app_id: str,
+    derived_cols: dict,
+    schema: TableSchema,
+    keys,
+    order_col: str,
+    nb: int,
+    winners_slim: DataFrame,
+    caches: list,
+    plan_rows,
+    touched: list,
+    rows_in: int,
+    seq_lo,
+    seq_hi,
+    distinct_keys: int,
+    dup_deliveries: bool,
+    est_broadcast_bytes: int,
+    commit_tag: str,
+    mor_compact_threshold: int | None,
+    _mark,
+    _timing: bool,
+    _ph: dict,
+) -> CommitResult:
+    """Merge-on-read write: append the epoch's LWW winners as per-bucket
+    DELTA files — the table is never read, so per-epoch cost is O(batch).
+
+    Reads reconcile base+delta per key (``LakeTable.read`` picks max
+    ``(order_col, -_seq)``; ``_seq`` is this commit's snapshot id, baked
+    into the delta parquet) and compaction folds deltas back into base
+    files.  This is the Hudi-MOR / Iceberg-v2 write shape: the decide
+    scan and matched-file rewrite that bound the COW path's trickle-CDC
+    floor disappear entirely, deferred to compaction where they amortize
+    across many epochs.
+
+    Winner payloads take the slim path when the key set fits a broadcast
+    (losing rows' payloads never shuffle — map-side semi-join against
+    the already-computed winner set), else one max_by agg shuffle.
+    Delete events become tombstone winners (``_deleted=true``) exactly
+    as in COW; insert-vs-update is unknowable without reading the table,
+    so delta rows carry ``_action='upsert'|'delete'`` and the changelog
+    reports upserts as such.
+
+    Commit: CAS with ALWAYS-REBASE — a MOR commit appends file entries
+    to bucket lists and reads no table state, so it commutes with any
+    concurrent data commit (another MOR epoch, a compaction).  The one
+    non-commuting case, a concurrent schema evolution, raises
+    ``CommitConflict`` for the caller to re-align (same as COW).  A CAS
+    rebase can leave the baked ``_seq`` one less than the final snapshot
+    id; ordering stays correct for any single-writer stream (seqs remain
+    strictly increasing per key) — only two CONCURRENT writers racing
+    the same key at the same LWW order tie non-deterministically, a race
+    that is unordered to begin with.
+    """
+    ndl_by_bucket = {r["_bucket"]: int(r["ndl"] or 0) for r in plan_rows}
+    dk_by_bucket = {r["_bucket"]: int(r["dk"]) for r in plan_rows}
+    plan_by_bucket = {r["_bucket"]: (int(r["n"]), r["lo"], r["hi"]) for r in plan_rows}
+    deletes_total = sum(ndl_by_bucket.values())
+
+    out_files: dict[int, list[dict]] = {}
+    if touched:
+        use_broadcast = (
+            0 < distinct_keys <= SLIM_DEDUPE_MAX_KEYS
+            and est_broadcast_bytes <= SLIM_DEDUPE_MAX_BYTES
+        )
+        if use_broadcast:
+            # map-side winner pick: losing rows' payloads never shuffle
+            win = winners_slim.select(
+                *[F.col(k).alias(f"_w_{k}") for k in keys],
+                F.col("_s_ord").alias("_w_ord"),
+                F.col("_s_del").alias("_w_del"),
+            )
+            cond = F.col(order_col).eqNullSafe(F.col("_w_ord"))
+            for k in keys:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"_w_{k}"))
+            picked = batch.join(F.broadcast(win), cond, "inner").drop(
+                *[f"_w_{k}" for k in keys], "_w_ord"
+            )
+            if dup_deliveries:
+                # duplicate deliveries of the winning (key, ord) pair —
+                # collapse before writing; skipped when planning PROVED
+                # the batch (key, order)-duplicate-free
+                picked = lww_dedupe(picked, keys=keys, order_col=order_col)
+            winners_rows = picked.withColumn(
+                "_deleted", F.coalesce(F.col("_w_del"), F.lit(False))
+            ).drop("_w_del", "op")
+        else:
+            deduped = lww_dedupe(batch, keys=keys, order_col=order_col)
+            winners_rows = deduped.withColumn(
+                "_deleted", F.col("op") == "delete"
+            ).drop("op")
+        for c, expr in derived_cols.items():
+            winners_rows = winners_rows.withColumn(c, expr)
+        vals = [c for c in schema.names() if c not in keys]
+        delta = (
+            winners_rows.select(
+                *keys,
+                *[F.col(c) for c in vals],
+                "_deleted",
+            )
+            .withColumn(
+                "_action",
+                F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
+            )
+            .withColumn("_seq", F.lit(snap["snapshot_id"] + 1).cast("long"))
+            .withColumn("_bucket", bucket_of(keys, nb))
+        )
+        out_dir_rel = f"data/commit-{commit_tag}"
+        out_dir = table.path / out_dir_rel
+        (
+            delta.repartition(max(len(touched), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(str(out_dir))
+        )
+        for bdir in sorted(out_dir.glob("_bucket=*")):
+            b = int(bdir.name.split("=")[1])
+            out_files[b] = [
+                {
+                    "path": f"{out_dir_rel}/{bdir.name}/{p.name}",
+                    "sv": schema.version,
+                    "kind": "delta",
+                }
+                for p in sorted(bdir.iterdir())
+                if p.name.endswith(".parquet")
+            ]
+    _mark("write")
+    for c in caches:
+        c.unpersist()
+
+    bucket_stats = [
+        {
+            "bucket": int(b),
+            "rows_in": plan_by_bucket[b][0],
+            # MOR reports REQUESTED upserts/deletes (winner counts by op):
+            # whether a delete hit a live key is unknowable without the
+            # decide scan this mode exists to skip
+            "rows_upserted": dk_by_bucket[b] - ndl_by_bucket[b],
+            "rows_deleted": ndl_by_bucket[b],
+            "event_seq_min": plan_by_bucket[b][1],
+            "event_seq_max": plan_by_bucket[b][2],
+        }
+        for b in sorted(touched)
+    ]
+
+    base = snap
+    while True:
+        new_buckets = {b: list(fl) for b, fl in base["buckets"].items()}
+        for b in touched:
+            new_buckets[str(b)] = new_buckets.get(str(b), []) + out_files.get(b, [])
+        schemas = dict(base["schemas"])
+        schemas[str(schema.version)] = schema.to_json()
+        fences = table.fences(base)
+        if epoch_id is not None:
+            fences = fence_add(fences, app_id, epoch_id)
+        new_snap = {
+            "snapshot_id": base["snapshot_id"] + 1,
+            "parent_id": base["snapshot_id"],
+            "epoch_id": epoch_id,
+            "app_id": app_id,
+            "key_cols": list(keys),
+            "order_col": order_col,
+            "num_buckets": nb,
+            "current_schema_version": schema.version,
+            "schemas": schemas,
+            "buckets": new_buckets,
+            "added_files": {str(b): fl for b, fl in out_files.items()},
+            "fences": fences,
+            "stats": {"rows_in": rows_in, "mor": True},
+        }
+        if table._try_write_snapshot(new_snap):
+            if _timing:
+                _mark("commit")
+                print(
+                    "[merge-timing] epoch=%s %s total=%.3fs (mor)"
+                    % (
+                        epoch_id,
+                        " ".join(f"{k}={v:.3f}s" for k, v in _ph.items()),
+                        sum(_ph.values()),
+                    )
+                )
+            if mor_compact_threshold is not None and touched:
+                # log-structured maintenance: fold any bucket whose delta
+                # depth reached the bound, keeping read amplification O(1)
+                deep = [
+                    b
+                    for b in touched
+                    if sum(
+                        1
+                        for fe in new_snap["buckets"].get(str(b), [])
+                        if fe.get("kind") == "delta"
+                    )
+                    >= mor_compact_threshold
+                ]
+                if deep:
+                    from rocket_etl_spark.lake.maintenance import compact
+
+                    compact(table, buckets=deep)
+            return CommitResult(
+                snapshot_id=new_snap["snapshot_id"],
+                epoch_id=epoch_id,
+                skipped=False,
+                rows_in=rows_in,
+                rows_upserted=distinct_keys - deletes_total,
+                rows_deleted=deletes_total,
+                event_seq_min=seq_lo,
+                event_seq_max=seq_hi,
+                touched_buckets=len(touched),
+                bucket_stats=bucket_stats,
+                decide_files_scanned=0,
+                decide_files_total=0,
+            )
+        latest = table.current_snapshot()
+        if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, latest):
+            return CommitResult(latest["snapshot_id"], epoch_id, skipped=True)
+        if latest["current_schema_version"] != snap["current_schema_version"]:
+            raise CommitConflict(
+                f"schema evolved concurrently (v{snap['current_schema_version']} -> "
+                f"v{latest['current_schema_version']}); re-align the batch and retry"
+            )
+        base = latest  # append-only: always safe to rebase
+
+
 def merge_batch(
     table: LakeTable,
     batch: DataFrame,
@@ -703,6 +928,8 @@ def merge_batch(
     new_schema: TableSchema | None = None,
     app_id: str = "default",
     derived_cols: dict | None = None,
+    mode: str = "cow",
+    mor_compact_threshold: int | None = None,
 ) -> CommitResult:
     """MERGE ``batch`` into ``table``; returns commit stats.
 
@@ -720,13 +947,61 @@ def merge_batch(
     bytes out of the dedupe shuffle/sort and skips computing them for
     rows that lose the LWW race — measured ~2x on the end-to-end replay
     for the 64-char content_sha256 column.  They may not be key or order
-    columns (winners are chosen before they exist)."""
+    columns (winners are chosen before they exist).
+
+    ``mode`` selects the write strategy:
+
+    * ``'cow'`` (default) — copy-on-write: decide against the table,
+      rewrite matched files, re-link the rest.  Read-optimized; per-epoch
+      cost ~O(touched buckets' key columns + matched files).
+    * ``'mor'`` — merge-on-read: the epoch's LWW winners (including
+      delete tombstones) are APPENDED as per-bucket delta files without
+      reading the table at all; reads reconcile base+delta per key
+      (``LakeTable.read``), and compaction folds deltas back into base
+      files.  Write-optimized — per-epoch cost is O(batch) with no
+      decide scan, the shape that keeps a 10^10-event trickle-CDC stream
+      ingesting at wire speed; the read-amplification debt is bounded by
+      ``mor_compact_threshold`` (auto-compact any touched bucket whose
+      delta-file count reaches it) or an external ``compact_every``/
+      ``compact()`` schedule.  A COW merge landing on delta-bearing
+      buckets compacts them first (mode transition is always safe).
+
+    Final table state is IDENTICAL between modes for any replay — the
+    property test replays random multi-epoch streams both ways and
+    diffs; both modes share the exactly-once fence and CAS commit.
+    """
     t0 = time.monotonic()
+    compactions = 0
     while True:  # recompute loop: re-runs only on touched-bucket CAS conflict
         snap = table.current_snapshot()
         if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, snap):
             return CommitResult(snap["snapshot_id"], epoch_id, skipped=True)
-        res = _merge_once(table, batch, snap, epoch_id, new_schema, app_id, derived_cols)
+        if mode == "cow":
+            # mode transition: fold any merge-on-read deltas before a COW
+            # decide reads these buckets (its keep/re-link logic assumes
+            # one live row per key per bucket's file set — a retained
+            # stale delta row would out-seq the rewrite and corrupt)
+            delta_buckets = [
+                int(b)
+                for b, fl in snap["buckets"].items()
+                if any(fe.get("kind") == "delta" for fe in fl)
+            ]
+            if delta_buckets:
+                if compactions >= 5:
+                    raise RuntimeError(
+                        "COW merge cannot clear merge-on-read deltas: a "
+                        "concurrent MOR writer keeps appending; use one "
+                        "write mode per table or pause the MOR stream"
+                    )
+                from rocket_etl_spark.lake.maintenance import compact
+
+                compact(table, buckets=delta_buckets)
+                compactions += 1
+                continue
+        res = _merge_once(
+            table, batch, snap, epoch_id, new_schema, app_id, derived_cols,
+            mode=mode, mor_compact_threshold=mor_compact_threshold,
+        )
         if res is not None:
             res.wall_ms = int((time.monotonic() - t0) * 1000)
             return res
@@ -740,6 +1015,8 @@ def _merge_once(
     new_schema: TableSchema | None,
     app_id: str,
     derived_cols: dict | None = None,
+    mode: str = "cow",
+    mor_compact_threshold: int | None = None,
 ) -> CommitResult | None:
     """One merge attempt against basis snapshot ``snap``.  Returns the
     CommitResult, or None when a CAS loss forces a full recompute."""
@@ -815,6 +1092,9 @@ def _merge_once(
             F.count(F.lit(1)).alias("dk"),
             F.sum("_kb").alias("kb"),
             F.sum("_nords").alias("ndp"),
+            # delete-winner count per bucket: the merge-on-read path's
+            # whole stats story (it never reads _action back from files)
+            F.sum(F.when(F.col("_s_del"), 1).otherwise(0)).alias("ndl"),
         )
         .collect()
     )
@@ -829,6 +1109,19 @@ def _merge_once(
     avg_key_bytes = key_bytes / rows_in if rows_in else 0.0
     est_broadcast_bytes = int(distinct_keys * (avg_key_bytes + _BCAST_ROW_OVERHEAD))
     _mark("plan")
+
+    if mode == "mor":
+        return _merge_mor_commit(
+            table, batch, snap, epoch_id, app_id, derived_cols, schema,
+            keys, order_col, nb, winners_slim, caches, plan_rows, touched,
+            rows_in, seq_lo, seq_hi, distinct_keys, dup_deliveries,
+            est_broadcast_bytes, commit_tag, mor_compact_threshold,
+            _mark, _timing, _ph,
+        )
+    if mode != "cow":
+        for c in caches:
+            c.unpersist()
+        raise ValueError(f"unknown merge mode {mode!r} (use 'cow' or 'mor')")
 
     out_files: dict[int, list[dict]] = {}
     stat_map: dict[str, int] = {}

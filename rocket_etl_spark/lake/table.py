@@ -78,6 +78,31 @@ def bucket_of(key_cols: Sequence[str], num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
 
+def _mor_reconcile(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """Collapse merge-on-read base+delta rows to one winner per key.
+
+    Winner = max ``(order_col, -_seq)``: highest LWW order; on an order
+    tie the row from the EARLIEST commit (lowest ``_seq``) wins, because
+    the COW MERGE's decide is strict (``batch_ord > table_ord`` — an
+    equal-order later arrival loses to the row already in the table) and
+    MOR must converge to the identical state.  Base/COW rows read
+    ``_seq`` as null → 0, so they out-rank any delta on equal order.
+    One hash-aggregation shuffle over the delta-bearing buckets' rows
+    only; map-side partial max_by keeps hot keys skew-safe.
+    """
+    others = [c for c in df.columns if c not in set(keys) and c != "_seq"]
+    packed = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(
+                F.col(order_col).alias("_o"),
+                (-F.coalesce(F.col("_seq"), F.lit(0))).alias("_ns"),
+            ),
+        ).alias("_w")
+    )
+    return packed.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str | Path):
         self.spark = spark
@@ -236,30 +261,67 @@ class LakeTable:
         convergent under arbitrary event reordering.  Normal reads filter
         them out; the MERGE reads with ``include_tombstones=True``.
         Compaction may purge tombstones older than a retention horizon.
+
+        **Merge-on-read reconciliation**: buckets carrying ``delta``
+        file entries (written by ``merge_batch(mode='mor')``, which
+        appends LWW-winner rows instead of rewriting the bucket) are
+        reconciled at read time — per key, the winning row is the max of
+        ``(order_col, -commit_seq)``, i.e. highest LWW order with ties
+        broken toward the EARLIEST commit.  The tie direction matches the
+        copy-on-write MERGE exactly (its decide uses a strict
+        ``batch_ord > table_ord``, so on equal order the already-written
+        row wins); the COW/MOR final-state equivalence property test
+        pins this.  Buckets with only base files skip reconciliation
+        entirely — the plain union path below — so the read-side cost is
+        confined to delta-bearing buckets until compaction folds them.
         """
         snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current_snapshot()
         current = TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
-        by_sv: dict[int, list[str]] = {}
+        plain_by_sv: dict[int, list[str]] = {}
+        rec_by_sv: dict[int, list[str]] = {}
         for b, files in snap["buckets"].items():
             if buckets is not None and int(b) not in set(buckets):
                 continue
-            for fe in files:
-                if file_subset is not None and fe["path"] not in file_subset:
-                    continue
-                by_sv.setdefault(fe["sv"], []).append(str(self.path / fe["path"]))
-        parts: list[DataFrame] = []
-        for sv, paths in sorted(by_sv.items()):
-            fschema = TableSchema.from_json(snap["schemas"][str(sv)])
-            phys = fschema.to_struct().add("_deleted", "boolean", True)
-            df = self.spark.read.schema(phys).parquet(*paths)
-            parts.append(project_to(df, fschema, current, passthrough=("_deleted",)))
-        if not parts:
-            phys = current.to_struct().add("_deleted", "boolean", True)
-            out = self.spark.createDataFrame([], phys)
-        else:
+            sel = [fe for fe in files if file_subset is None or fe["path"] in file_subset]
+            # reconciliation needed only when a delta entry could shadow
+            # another file's row of the same key (>= 2 files, one a delta)
+            needs_rec = len(sel) > 1 and any(fe.get("kind") == "delta" for fe in sel)
+            target = rec_by_sv if needs_rec else plain_by_sv
+            for fe in sel:
+                target.setdefault(fe["sv"], []).append(str(self.path / fe["path"]))
+
+        def _load(by_sv: dict[int, list[str]], with_seq: bool) -> DataFrame | None:
+            parts: list[DataFrame] = []
+            for sv, paths in sorted(by_sv.items()):
+                fschema = TableSchema.from_json(snap["schemas"][str(sv)])
+                phys = fschema.to_struct().add("_deleted", "boolean", True)
+                passthrough = ("_deleted",)
+                if with_seq:
+                    # absent from base/COW parquet → read as null → seq 0
+                    phys = phys.add("_seq", "long", True)
+                    passthrough = ("_deleted", "_seq")
+                df = self.spark.read.schema(phys).parquet(*paths)
+                parts.append(project_to(df, fschema, current, passthrough=passthrough))
+            if not parts:
+                return None
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            return out
+
+        plain = _load(plain_by_sv, with_seq=False)
+        rec = _load(rec_by_sv, with_seq=True)
+        if rec is not None:
+            rec = _mor_reconcile(rec, snap["key_cols"], snap["order_col"])
+        if plain is None and rec is None:
+            phys = current.to_struct().add("_deleted", "boolean", True)
+            out = self.spark.createDataFrame([], phys)
+        elif plain is None:
+            out = rec
+        elif rec is None:
+            out = plain
+        else:
+            out = plain.unionByName(rec)
         if include_tombstones:
             return out
         return out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
@@ -316,7 +378,10 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return (
-            out.filter(F.col("_action").isin("insert", "update", "delete"))
+            # 'upsert' = merge-on-read commits: a MOR delta is appended
+            # without reading the table, so insert-vs-update is unknown
+            # at write time — the changelog reports it honestly as upsert
+            out.filter(F.col("_action").isin("insert", "update", "delete", "upsert"))
             .withColumnRenamed("_action", "change_type")
         )
 

@@ -175,8 +175,15 @@ def replay_batch(
     renames: dict[str, str] | None = None,
     use_pandas_udfs: bool = False,
     app_id: str = "default",
+    mode: str = "cow",
+    mor_compact_threshold: int | None = None,
 ) -> CommitResult:
     """One-shot batch replay: transform → align → MERGE.
+
+    ``mode='mor'`` switches the MERGE to merge-on-read delta appends
+    (see ``merge_batch``): same final state, no decide scan — the
+    trickle-CDC write path; pair with ``mor_compact_threshold`` or a
+    compaction schedule to bound read amplification.
 
     A ``CommitConflict`` (another writer evolved the schema between our
     alignment and our commit) is absorbed by re-aligning against the
@@ -189,7 +196,8 @@ def replay_batch(
         try:
             return merge_batch(
                 table, aligned, epoch_id=epoch_id, new_schema=new_schema,
-                app_id=app_id, derived_cols=derived,
+                app_id=app_id, derived_cols=derived, mode=mode,
+                mor_compact_threshold=mor_compact_threshold,
             )
         except CommitConflict:
             continue
@@ -346,6 +354,8 @@ def replay_stream(
     app_id: str | None = None,
     stream_df: DataFrame | None = None,
     notifier=None,
+    mode: str = "cow",
+    mor_compact_threshold: int | None = None,
 ) -> list[CommitResult]:
     """Tail ``events_dir`` and MERGE each micro-batch (exactly-once).
 
@@ -369,6 +379,11 @@ def replay_stream(
     ``app_id`` scopes the exactly-once fence (default: derived from the
     checkpoint path) — a NEW checkpoint pointed at an existing table gets
     fresh epoch numbering instead of colliding with a previous stream's.
+
+    ``mode='mor'`` appends each micro-batch as merge-on-read deltas
+    instead of copy-on-write rewrites (see ``merge_batch``) — the
+    write-optimized ingestion mode; ``mor_compact_threshold`` (or
+    ``compact_every``) bounds the deltas a read must reconcile.
 
     ``stream_df`` swaps the source: pass ``kafka_event_stream(...)`` (or
     any streaming DataFrame with the event columns) instead of the file
@@ -405,7 +420,8 @@ def replay_stream(
         aligned, new_schema = align_batch(table, prepared, renames, skip_cols=set(derived))
         res = merge_batch(
             table, aligned, epoch_id=epoch_id, new_schema=new_schema,
-            app_id=app_id, derived_cols=derived,
+            app_id=app_id, derived_cols=derived, mode=mode,
+            mor_compact_threshold=mor_compact_threshold,
         )
         res.wall_ms = int((time.monotonic() - t0) * 1000)
         append_lineage(spark, table, res)
