@@ -760,6 +760,24 @@ def _cdc_replay_e2e(spark, sf):
     return table.read().select(*_CDC_STATE_COLS)
 
 
+def _cdc_replay_mor(spark, sf):
+    """Merge-on-read replay (lake/merge.py _merge_mor_commit): two epochs
+    appended as per-bucket DELTA files — no decide scan, no rewrite — and
+    the returned read reconciles base+delta per key at query time
+    (lake/table.py _mor_reconcile).  Deliberately NOT compacted before
+    the read: the oracle equality here proves the reconciliation path
+    itself converges to the same LWW state as the copy-on-write replay
+    (same oracle SQL as cdc_replay_e2e)."""
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "mor")
+    replay_batch(table, ev.filter(F.col("event_seq") <= thr), epoch_id=0, mode="mor")
+    replay_batch(table, ev.filter(F.col("event_seq") > thr), epoch_id=1, mode="mor")
+    return table.read().select(*_CDC_STATE_COLS)
+
+
 def _cdc_changes(spark, sf):
     """Changelog (CDC-out): replay two epochs (event_seq split at max/2),
     return the row-level changes the second epoch committed."""
@@ -1006,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,
         "corpus_sample_frac": _corpus_sample_frac,
         "corpus_sample_quota": _corpus_sample_quota,
+        "cdc_replay_mor": _cdc_replay_mor,
     }
 
 
@@ -1554,6 +1573,16 @@ def oracle_sql() -> dict[str, str]:
         # end-to-end engine queries: the oracle recomputes the LWW-converged
         # table state (and the second epoch's changelog) in pure SQL
         "cdc_replay_e2e": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq "
+            "FROM w WHERE rn = 1 AND op <> 'delete'"
+        ),
+        # merge-on-read replay converges to the SAME state as COW — the
+        # oracle is identical by design (the equivalence is the point)
+        "cdc_replay_mor": (
             f"WITH ev AS ({_CDC_EV_SQL}), "
             "w AS (SELECT *, row_number() OVER "
             "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "

@@ -227,6 +227,46 @@ def main() -> None:
     stream_sec = time.monotonic() - t0
     timings["cdc_replay_stream"] = round(stream_sec, 3)
 
+    # ---- trickle-CDC A/B: copy-on-write vs merge-on-read --------------------
+    # The regime the MOR mode exists for: many SMALL epochs landing on an
+    # already-populated table.  COW pays a decide scan + matched-file
+    # rewrite per epoch (bloom/zone pruning softens it); MOR appends one
+    # delta per touched bucket and never reads the table.  Both run the
+    # same 16 epochs on equally-populated tables (the replay trials'
+    # leftovers), then MOR's deferred costs are measured explicitly: the
+    # reconciling read and the compaction fold.
+    from rocket_etl_spark.lake.maintenance import compact
+    from rocket_etl_spark.lake.table import LakeTable
+
+    n_epochs, per = 16, max(2_000, n_events // 200)
+    trickle = change_events(
+        spark, n_epochs * per, seed=44, n_repos=500, paths_per_repo=2000, delete_frac=0.05
+    )
+    trickle_dir = tempfile.mkdtemp(prefix="bench-trickle-", dir=stage_root)
+    atexit.register(_sh.rmtree, trickle_dir, True)
+    trickle.write.mode("overwrite").parquet(trickle_dir)
+    tr = spark.read.parquet(trickle_dir)
+    slices = [
+        tr.filter((tr.event_seq >= i * per) & (tr.event_seq < (i + 1) * per))
+        for i in range(n_epochs)
+    ]
+    trickle_sec: dict[str, float] = {}
+    for mode, tname in (("cow", "t0"), ("mor", "t1")):
+        table = LakeTable.load(spark, f"{lake_dir}/{tname}")
+        t0 = time.monotonic()
+        for i, b in enumerate(slices):
+            replay_batch(table, b, epoch_id=10 + i, mode=mode)
+        trickle_sec[mode] = time.monotonic() - t0
+    timings["cdc_trickle_cow"] = round(trickle_sec["cow"], 3)
+    timings["cdc_trickle_mor"] = round(trickle_sec["mor"], 3)
+    mor_table = LakeTable.load(spark, f"{lake_dir}/t1")
+    t0 = time.monotonic()
+    _force(mor_table.read())  # reconciling read: the mode's deferred cost
+    mor_read_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    compact(mor_table)  # fold deltas back to base
+    mor_compact_sec = time.monotonic() - t0
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -243,6 +283,13 @@ def main() -> None:
                     "cores": cpus,
                     "replay_trials_sec": [round(t, 3) for t in replay_trials],
                     "incremental_trials_sec": [round(t, 3) for t in incr_trials],
+                    "trickle_epochs": n_epochs,
+                    "trickle_events_per_epoch": per,
+                    "trickle_cow_events_per_sec": round(n_epochs * per / trickle_sec["cow"]),
+                    "trickle_mor_events_per_sec": round(n_epochs * per / trickle_sec["mor"]),
+                    "trickle_mor_speedup": round(trickle_sec["cow"] / trickle_sec["mor"], 2),
+                    "mor_reconciling_read_sec": round(mor_read_sec, 3),
+                    "mor_compact_sec": round(mor_compact_sec, 3),
                     "host_calibration": host_calibration(),
                 },
             }
