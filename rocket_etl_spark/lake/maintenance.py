@@ -27,6 +27,8 @@ def compact(
     min_files: int = 2,
     buckets: list[int] | None = None,
     max_retries: int = 5,
+    sort_cols: list[str] | None = None,
+    target_file_rows: int | None = None,
 ) -> dict:
     """Rewrite fragmented buckets to one file each; drop droppable
     tombstones.
@@ -55,9 +57,26 @@ def compact(
     mid-stream compaction; retrying forever would livelock, with an
     orphaned rewrite per attempt, against a stream that commits faster
     than one rewrite completes — hence the cap.)
+
+    ``sort_cols`` (typically the table's key columns) CLUSTERS each
+    rewritten bucket: rows are sorted within the bucket and split into
+    files of ``target_file_rows`` each, so every output file covers a
+    disjoint key slice — Iceberg's sort-order rewrite.  Combined with
+    the zone maps this pass attaches to its output (below), a later
+    copy-on-write MERGE's decide scan prunes the big base files to just
+    the slices its winner keys can touch, instead of re-reading the
+    whole bucket every epoch.  Unsorted compaction (the default) keeps
+    one file per bucket.
+
+    Either way the output files get decide-scan metadata attached —
+    ``kr`` zone maps (footer stats, free) and key blooms (bounded by the
+    per-file row cap) — which MERGE commits already carry but compaction
+    previously stripped, leaving exactly the LARGEST files unprunable.
     """
     for _ in range(max_retries + 1):
-        res = _compact_once(table, tombstone_watermark, min_files, buckets)
+        res = _compact_once(
+            table, tombstone_watermark, min_files, buckets, sort_cols, target_file_rows
+        )
         if res is not None:
             return res
     raise RuntimeError(
@@ -72,6 +91,8 @@ def _compact_once(
     tombstone_watermark: int | None,
     min_files: int,
     buckets: list[int] | None,
+    sort_cols: list[str] | None = None,
+    target_file_rows: int | None = None,
 ) -> dict | None:
     snap = table.current_snapshot()
     files_before = sum(len(v) for v in snap["buckets"].values())
@@ -109,12 +130,17 @@ def _compact_once(
     commit_tag = f"compact-{snap['snapshot_id'] + 1:08d}-{uuid.uuid4().hex[:8]}"
     out_dir_rel = f"data/{commit_tag}"
     out_dir = table.path / out_dir_rel
-    (
-        df.withColumn("_bucket", table.bucket_expr())
-        .repartition(max(len(cand), 1), "_bucket")
-        .write.partitionBy("_bucket")
-        .parquet(str(out_dir))
+    shaped = df.withColumn("_bucket", table.bucket_expr()).repartition(
+        max(len(cand), 1), "_bucket"
     )
+    if sort_cols:
+        # cluster the bucket: contiguous key slices per output file, so
+        # the attached zone maps carry tight disjoint ranges
+        shaped = shaped.sortWithinPartitions("_bucket", *sort_cols)
+    writer = shaped.write.partitionBy("_bucket")
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+    writer.parquet(str(out_dir))
     # untouched buckets keep their existing file lists; rewritten ones get
     # the new single file (or [] when a purge emptied the bucket)
     new_buckets: dict[str, list] = {
@@ -123,13 +149,35 @@ def _compact_once(
     for b in cand:
         new_buckets[str(b)] = []
     sv = snap["current_schema_version"]
+    written: dict[int, list[dict]] = {}
     for bdir in sorted(out_dir.glob("_bucket=*")):
         b = bdir.name.split("=")[1]
-        new_buckets[b] = [
+        new_buckets[b] = written[int(b)] = [
             {"path": f"{out_dir_rel}/{bdir.name}/{p.name}", "sv": sv}
             for p in sorted(bdir.iterdir())
             if p.name.endswith(".parquet")
         ]
+    # decide-scan metadata for the rewritten base files: zone maps are
+    # footer-only (free at any size); blooms self-gate on the per-file
+    # row cap so a big base slice never yields a saturated filter
+    from rocket_etl_spark.lake.merge import (
+        _bloom_safe_keys,
+        _build_file_blooms,
+        _build_file_ranges,
+        _RANGES_ENABLED,
+        _BLOOMS_ENABLED,
+    )
+
+    from rocket_etl_spark.schema.registry import TableSchema
+
+    # the schema of the snapshot we compacted, not the (possibly moved) tip
+    schema = TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
+    keys = snap["key_cols"]
+    if written and _bloom_safe_keys(schema, keys):
+        if _RANGES_ENABLED:
+            _build_file_ranges(out_dir, written, keys, schema)
+        if _BLOOMS_ENABLED:
+            _build_file_blooms(out_dir, written, keys)
 
     new_snap = dict(snap)
     new_snap["snapshot_id"] = snap["snapshot_id"] + 1
