@@ -199,3 +199,38 @@ def test_mor_rejects_unknown_mode(spark, tmp_path):
     t = create_repo_files_table(spark, tmp_path / "t", num_buckets=2)
     with pytest.raises(ValueError, match="unknown merge mode"):
         replay_batch(t, events, mode="bogus")
+
+
+def test_mor_streaming_replay_with_compaction(spark, tmp_path):
+    """Structured Streaming in MOR mode: per-micro-batch delta appends +
+    periodic compaction folds, converging to the batch oracle."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from rocket_etl_spark.streaming.replay import replay_stream
+
+    events = change_events(spark, 6_000, seed=53, delete_frac=0.1)
+    pdfs = []
+    for i in range(4):
+        b = events.filter(
+            (events.event_seq >= i * 1_500) & (events.event_seq < (i + 1) * 1_500)
+        )
+        tmp = tempfile.mkdtemp()
+        b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/out")
+        part = next(Path(f"{tmp}/out").glob("part-*.parquet"))
+        (tmp_path / "events").mkdir(parents=True, exist_ok=True)
+        shutil.move(str(part), str(tmp_path / "events" / f"batch-{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        pdfs.append(b.toPandas())
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    results = replay_stream(
+        spark, t, tmp_path / "events", tmp_path / "ckpt",
+        max_files_per_trigger=1, mode="mor", compact_every=2,
+    )
+    assert len(results) == 4 and all(not r.skipped for r in results)
+    # compact_every=2 folded after epochs 2 and 4 -> no residual deltas
+    assert table_stats(t)["delta_files"] == 0
+    pd.testing.assert_frame_equal(
+        _state(t), replay_oracle(pdfs), check_dtype=False
+    )
