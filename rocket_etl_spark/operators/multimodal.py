@@ -4,11 +4,13 @@ The Spark-side machinery is real and tested — schema, partition-friendly
 ``mapInPandas`` batch shape, Arrow transfer of binary columns, typed
 metadata structs.  The codec layer: **PNG decode is REAL** (stdlib
 ``zlib`` inflate + per-filter scanline reconstruction + numpy luma — no
-image libraries needed) and **WAV decode is REAL** (stdlib ``struct``
-RIFF chunk walk + numpy PCM/float normalization); JPEG/compressed-audio/
-video decode would need PIL/ffmpeg (absent in this container) and raise
-``NotImplementedError`` unless ``fake=True`` routes them through the
-deterministic fake decoder.
+image libraries needed), **baseline JPEG decode is REAL**
+(operators/jpeg.py — Huffman + dequant + IDCT + chroma upsample, stdlib
+struct + numpy; progressive raises), and **WAV decode is REAL** (stdlib
+``struct`` RIFF chunk walk + numpy PCM/float normalization);
+compressed-audio/video decode would need ffmpeg (absent in this
+container) and raise ``NotImplementedError`` unless ``fake=True``
+routes them through the deterministic fake decoder.
 
 At 100 TB the pattern holds: binaries stay columnar (parquet binary +
 Arrow), decode happens executor-side in Arrow batches, and metadata-only
@@ -139,6 +141,21 @@ def _png_features(payload: bytes) -> tuple[int, int, float]:
     return w, h, round(float(luma.mean()) / 255.0, 4)
 
 
+def _jpeg_features(payload: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_luma∈[0,1]) from a real baseline-JPEG decode
+    (operators/jpeg.py — stdlib struct + numpy Huffman/IDCT)."""
+    from rocket_etl_spark.operators.jpeg import decode_jpeg
+
+    px = decode_jpeg(payload).astype(np.float64)
+    if px.ndim == 3:
+        h, w, _ = px.shape
+        luma = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+    else:
+        h, w = px.shape
+        luma = px
+    return w, h, round(float(luma.mean()) / 255.0, 4)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for a real codec: pretends the byte length
     encodes dimensions and brightness."""
@@ -173,8 +190,10 @@ def decode_image_batches(
             return 0, 0, 0.0
         if p[: len(_PNG_SIG)] == _PNG_SIG:
             return _png_features(p)
+        if p[:2] == b"\xff\xd8":
+            return _jpeg_features(p)
         raise NotImplementedError(
-            "non-PNG image decode requires PIL/ffmpeg (not in this "
+            "non-PNG/JPEG image decode requires PIL/ffmpeg (not in this "
             "container); pass fake=True for the deterministic test decoder"
         )
 
