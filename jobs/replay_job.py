@@ -40,6 +40,13 @@ def main() -> None:
                          "enables tombstone GC during --compact-every")
     ap.add_argument("--app-id", default=None,
                     help="exactly-once fence scope (default: derived from checkpoint)")
+    ap.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                    help="MERGE write strategy: copy-on-write (read-optimized) "
+                         "or merge-on-read delta appends (write-optimized trickle "
+                         "ingestion; reads reconcile until compaction folds)")
+    ap.add_argument("--mor-compact-threshold", type=int, default=None,
+                    help="auto-fold any bucket whose merge-on-read delta depth "
+                         "reaches N (bounds read amplification)")
     ap.add_argument("--stats", action="store_true",
                     help="print metadata-only table stats after the run")
     args = ap.parse_args()
@@ -61,6 +68,8 @@ def main() -> None:
         compact_every=args.compact_every,
         reorder_bound=args.reorder_bound,
         app_id=args.app_id,
+        mode=args.mode,
+        mor_compact_threshold=args.mor_compact_threshold,
     )
     for r in results:
         print(

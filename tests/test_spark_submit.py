@@ -35,9 +35,14 @@ def test_zip_is_importable_standalone(tmp_path):
     assert out.returncode == 0 and "zip-import-ok" in out.stdout, out.stderr[-2000:]
 
 
-def test_spark_submit_replay_job_end_to_end(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_spark_submit_replay_job_end_to_end(spark, tmp_path, mode):
     """Real spark-submit with the zip: create table, drain a change-event
-    dir, verify committed rows — the exact cluster invocation shape."""
+    dir, verify committed rows — the exact cluster invocation shape.
+    Parametrized over both MERGE write strategies (--mode cow/mor)."""
     spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
     if not pathlib.Path(spark_submit).exists():
         import pytest
@@ -69,6 +74,7 @@ def test_spark_submit_replay_job_end_to_end(spark, tmp_path):
             "--table", str(tmp_path / "table"),
             "--checkpoint", str(tmp_path / "ckpt"),
             "--create", "--buckets", "4", "--stats",
+            "--mode", mode,
         ],
         capture_output=True, text=True, timeout=420,
         env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
