@@ -751,13 +751,28 @@ _CDC_STATE_COLS = [
 
 
 def _cdc_replay_e2e(spark, sf):
-    """Full engine path: events → LWW dedupe → epoch-fenced MERGE into a
-    lake table → read back the converged state."""
+    """Full engine path, BOTH write modes, one tagged result (fused r5 so
+    merge-on-read sits inside the driver's 50-row window): the same event
+    stream replayed (a) ``mode='cow'`` — LWW dedupe → epoch-fenced MERGE →
+    converged state — and (b) ``mode='mor'`` — two epochs appended as
+    per-bucket DELTA files (lake/merge.py _merge_mor_commit, no decide
+    scan, no rewrite), read back through the query-time reconciliation
+    (lake/table.py _mor_reconcile) deliberately WITHOUT compaction.  Both
+    halves must be the identical LWW state — the oracle is the same SQL
+    under each tag — so one driver row verifies the COW merge AND the MOR
+    reconciliation path every round."""
     from rocket_etl_spark.streaming.replay import replay_batch
 
-    table = _cdc_tmp_table(spark, sf, "replay")
-    replay_batch(table, _synth_cdc_events(spark, sf), epoch_id=0)
-    return table.read().select(*_CDC_STATE_COLS)
+    ev = _synth_cdc_events(spark, sf)
+    cow = _cdc_tmp_table(spark, sf, "replay")
+    replay_batch(cow, ev, epoch_id=0)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    mor = _cdc_tmp_table(spark, sf, "replaymor")
+    replay_batch(mor, ev.filter(F.col("event_seq") <= thr), epoch_id=0, mode="mor")
+    replay_batch(mor, ev.filter(F.col("event_seq") > thr), epoch_id=1, mode="mor")
+    return cow.read().select(F.lit("cow").alias("mode"), *_CDC_STATE_COLS).unionByName(
+        mor.read().select(F.lit("mor").alias("mode"), *_CDC_STATE_COLS)
+    )
 
 
 def _cdc_replay_mor(spark, sf):
@@ -899,6 +914,52 @@ def _cdc_wipe_refresh(spark, sf):
     return table.read().select(*_CDC_STATE_COLS)
 
 
+def _cdc_append_wipe(spark, sf):
+    """K2+K3 fused into one tagged board row (r5, frees a window seat):
+    ``mode='append'`` is the TRUE-append half, ``mode='wipe'`` the
+    wipe/full-refresh half — both over the same stream, same columns.
+    The unfused forms stay callable (and mirror-checked) past-50."""
+    return _cdc_append(spark, sf).select(
+        F.lit("append").alias("mode"), "*"
+    ).unionByName(
+        _cdc_wipe_refresh(spark, sf).select(F.lit("wipe").alias("mode"), "*")
+    )
+
+
+def _cdc_mv_incremental(spark, sf):
+    """Incrementally-maintained materialized aggregate
+    (lake/materialized.py): replay epoch 0, CREATE a per-(repo, lang)
+    rollup of the lake table, replay epoch 1 (updates + deletes), then
+    REFRESH — the change-feed-driven dirty-group path, not a full
+    re-aggregation.  The oracle recomputes the same rollup from the final
+    LWW state in pure SQL, so a stale group, a missed delete, or a
+    double-applied delta all hash-mismatch."""
+    import tempfile
+
+    from rocket_etl_spark.lake.materialized import MaterializedAggregate
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "mvsrc")
+    replay_batch(table, ev.filter(F.col("event_seq") <= thr), epoch_id=0)
+    d = tempfile.mkdtemp(prefix="rocket-etl-cdc-mv-")
+    _CDC_TMP_DIRS.append(d)
+    mv = MaterializedAggregate.create(
+        spark, f"{d}/mv", table,
+        group_cols=["repo", "lang"],
+        aggs=[
+            ("n_files", "count", "*"),
+            ("n_paths", "count_distinct", "path"),
+            ("sum_seq", "sum", "last_event_seq"),
+            ("max_seq", "max", "last_event_seq"),
+        ],
+    )
+    replay_batch(table, ev.filter(F.col("event_seq") > thr), epoch_id=1)
+    mv.refresh(table)
+    return mv.read()
+
+
 def _cdc_evolution_e2e(spark, sf):
     """Schema evolution through the REAL engine, oracle-checked: epoch 0
     ships the v1 schema, epoch 1 adds ``size_bytes:int``, epoch 2 renames
@@ -999,8 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_evolution_e2e": _cdc_evolution_e2e,
         "cdc_time_travel": _cdc_time_travel,
         "cdc_lineage": _cdc_lineage,
-        "cdc_append": _cdc_append,
-        "cdc_wipe_refresh": _cdc_wipe_refresh,
+        "cdc_append_wipe": _cdc_append_wipe,
+        "cdc_mv_incremental": _cdc_mv_incremental,
         "cdc_stream_e2e": _cdc_stream_e2e,
         # ---- position 51+ : redundant-coverage / rows-only variants ----
         "join_anti": _join_anti,
@@ -1025,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_frac": _corpus_sample_frac,
         "corpus_sample_quota": _corpus_sample_quota,
         "cdc_replay_mor": _cdc_replay_mor,
+        "cdc_append": _cdc_append,
+        "cdc_wipe_refresh": _cdc_wipe_refresh,
     }
 
 
@@ -1572,13 +1635,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # end-to-end engine queries: the oracle recomputes the LWW-converged
         # table state (and the second epoch's changelog) in pure SQL
+        # both write modes must land on the SAME LWW state: one CTE, the
+        # identical select under each tag (the equivalence is the point)
         "cdc_replay_e2e": (
             f"WITH ev AS ({_CDC_EV_SQL}), "
             "w AS (SELECT *, row_number() OVER "
-            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
-            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev), "
+            "s AS (SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
             "cmt AS last_commit, event_seq AS last_event_seq "
-            "FROM w WHERE rn = 1 AND op <> 'delete'"
+            "FROM w WHERE rn = 1 AND op <> 'delete') "
+            "SELECT 'cow' AS mode, * FROM s UNION ALL SELECT 'mor' AS mode, * FROM s"
         ),
         # merge-on-read replay converges to the SAME state as COW — the
         # oracle is identical by design (the equivalence is the point)
@@ -1634,6 +1700,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
             "cmt AS last_commit, event_seq AS last_event_seq "
             "FROM w WHERE op <> 'delete'"
+        ),
+        # the fused K2+K3 board row: append keeps every delivery, wipe is
+        # the LWW of the second half only — tagged union of the two
+        "cdc_append_wipe": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "thr AS (SELECT max(event_seq) // 2 AS t FROM ev), "
+            "w AS (SELECT * FROM (SELECT e.*, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn "
+            "FROM ev e, thr WHERE event_seq > t) WHERE rn = 1) "
+            "SELECT 'append' AS mode, repo, path, lang, content, "
+            "sha256(content) AS content_sha256, cmt AS last_commit, "
+            "event_seq AS last_event_seq FROM ev "
+            "UNION ALL "
+            "SELECT 'wipe' AS mode, repo, path, lang, content, "
+            "sha256(content) AS content_sha256, cmt AS last_commit, "
+            "event_seq AS last_event_seq FROM w WHERE op <> 'delete'"
+        ),
+        # the MV row: recompute the per-(repo, lang) rollup from the final
+        # LWW state — a stale group, missed delete, or double-applied
+        # delta in the incremental refresh all diverge from this
+        "cdc_mv_incremental": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev), "
+            "s AS (SELECT repo, path, lang, event_seq FROM w "
+            "WHERE rn = 1 AND op <> 'delete') "
+            "SELECT repo, lang, count(*) AS n_files, "
+            "count(DISTINCT path) AS n_paths, "
+            "CAST(sum(event_seq) AS BIGINT) AS sum_seq, "
+            "max(event_seq) AS max_seq FROM s GROUP BY repo, lang"
         ),
         "cdc_time_travel": (
             # state AS OF the post-epoch-0 snapshot == LWW over the first

@@ -22,10 +22,15 @@ set (never by guesswork):
   table state, and delete MV rows whose group vanished.  Correct for
   ANY aggregate without pre-image rows (the changelog does not carry
   old values — VERDICT r4; this is the same reason Delta's CDF-less
-  MVs recompute dirty partitions).  Cost is one column-pruned scan of
-  the source (group + agg columns only; the dirty-key semi join is
-  broadcast in the common regime, so the source never shuffles) plus a
-  shuffle of the dirty groups' rows only.
+  MVs recompute dirty partitions).  When a group column is a mutable
+  non-key attribute, an update can move a row BETWEEN groups and the
+  changelog names only the new one — the dirty set is therefore the
+  changed keys' groups in the new snapshot ∪ the same keys' groups in
+  the previous snapshot (time travel), never just the change rows'
+  own group values.  Cost is one column-pruned scan of the source
+  (group + agg columns only; the dirty-key semi join is broadcast in
+  the common regime, so the source never shuffles) plus a shuffle of
+  the dirty groups' rows only.
 
 Exactly-once refresh: the MV is itself a :class:`LakeTable` keyed on the
 group columns, and each refresh MERGEs with ``epoch_id = <source
@@ -215,13 +220,43 @@ class MaterializedAggregate:
             _write_spec(self.path, self.spec)
             return RefreshResult("noop", last, to_snap, 0, 0)
 
-        dirty = ch.select(*group_cols).distinct()
-        if stats["dirty"] <= _DIRTY_BROADCAST_CAP:
-            dirty = F.broadcast(dirty)
-
         additive = stats["non_insert"] == 0 and all(
             fn in _ADDITIVE_FNS for _, fn, _ in aggs
         )
+        key_cols = list(source.key_cols())
+        if additive or set(group_cols) <= set(key_cols):
+            # inserts can't move a row OUT of a group (a pre-existing key
+            # would be an update), and key-derived groups are immutable per
+            # row — the change rows' own group values name every dirty
+            # group
+            dirty = ch.select(*group_cols).distinct()
+        else:
+            # a group-by column that is a mutable attribute (not part of
+            # the key) can CHANGE on update: the changelog row carries
+            # only the NEW group, so the group the row LEFT would silently
+            # go stale.  The changelog has no pre-image rows — but the
+            # lake has time travel: dirty = the changed KEYS' groups in
+            # the new snapshot ∪ the same keys' groups in the previous
+            # one.  Both reads are column-pruned (key + group cols) and
+            # key-semi-joined, the same cost class as the recompute scan.
+            keys = ch.select(*key_cols).distinct()
+            if stats["n"] <= _DIRTY_BROADCAST_CAP:
+                keys = F.broadcast(keys)
+            dirty = (
+                source.read(snapshot_id=to_snap)
+                .join(keys, on=key_cols, how="left_semi")
+                .select(*group_cols)
+                .unionByName(
+                    source.read(snapshot_id=last)
+                    .join(keys, on=key_cols, how="left_semi")
+                    .select(*group_cols)
+                )
+                .distinct()
+            )
+        if stats["n"] <= _DIRTY_BROADCAST_CAP:
+            # dirty groups ≤ change rows: the change-volume bound gates the
+            # hint even when the dirty set itself was derived via snapshots
+            dirty = F.broadcast(dirty)
         if additive:
             delta = ch.groupBy(*group_cols).agg(
                 *[_agg_expr(fn, col, name) for name, fn, col in aggs]
@@ -275,6 +310,8 @@ class MaterializedAggregate:
                 batch = batch.unionByName(gone_rows)
 
         try:
+            # cached in recompute mode, so this count re-runs nothing big
+            n_refreshed = refreshed.count() if mode == "recompute" else int(stats["dirty"])
             merge_batch(self.table, batch, epoch_id=to_snap, app_id=_MV_APP_ID)
         finally:
             if mode == "recompute":
@@ -283,7 +320,7 @@ class MaterializedAggregate:
         _write_spec(self.path, self.spec)
         return RefreshResult(
             mode, last, to_snap,
-            groups_refreshed=max(int(stats["dirty"]) - n_deleted, 0),
+            groups_refreshed=n_refreshed,
             groups_deleted=n_deleted,
         )
 

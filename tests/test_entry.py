@@ -42,8 +42,12 @@ FIRST_50 = [
     # set_union+set_except fused into set_ops, knn_cosine+knn_lsh fused
     # into knn_ann, the two samplers fused into corpus_sample — freeing
     # seats so the corpus-pipeline rows (sample/pack/decontaminate) are
-    # driver-verified.  All standalone variants remain past position 50
-    # with their oracles (mirror-checked).
+    # driver-verified.  Late-r5: merge-on-read fused INTO cdc_replay_e2e
+    # (tagged cow/mor halves, same oracle under each tag) and
+    # cdc_append+cdc_wipe_refresh fused into cdc_append_wipe — seating
+    # cdc_mv_incremental (incremental materialized-view refresh).  All
+    # standalone variants remain past position 50 with their oracles
+    # (mirror-checked).
     "scan_parquet", "scan_csv", "project", "cast_types", "filter_pred",
     "null_norm", "derived_col",
     "join_inner", "join_broadcast", "join_outer", "join_semi", "join_range",
@@ -60,7 +64,7 @@ FIRST_50 = [
     "text_analysis", "text_token_stats",
     "corpus_sample", "corpus_pack", "corpus_decontaminate",
     "cdc_replay_e2e", "cdc_changes", "cdc_evolution_e2e", "cdc_time_travel",
-    "cdc_lineage", "cdc_append", "cdc_wipe_refresh", "cdc_stream_e2e",
+    "cdc_lineage", "cdc_append_wipe", "cdc_mv_incremental", "cdc_stream_e2e",
 ]
 
 
@@ -102,7 +106,10 @@ def test_cdc_e2e_queries_match_duckdb(spark):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
     )
-    for name in ("cdc_replay_e2e", "cdc_changes", "cdc_evolution_e2e"):
+    for name in (
+        "cdc_replay_e2e", "cdc_changes", "cdc_evolution_e2e",
+        "cdc_append_wipe", "cdc_mv_incremental",
+    ):
         got = qs[name](spark, sf).toPandas()
         exp = con.execute(oracles[name]).df()
         cols = sorted(got.columns)

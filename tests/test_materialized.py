@@ -164,6 +164,44 @@ def test_multi_column_group_and_reload(spark, tmp_path):
     _assert_frames_equal(mv.read(), _full(table, group=("repo", "lang")))
 
 
+def test_update_moving_row_between_groups_refreshes_both(spark, tmp_path):
+    """A group column that is a mutable attribute (lang — NOT part of the
+    (repo, path) key) can change on update: the changelog row names only
+    the NEW group, so the group the row LEFT must be found via the
+    previous snapshot or its aggregate silently goes stale (caught by the
+    cdc_mv_incremental oracle, r5)."""
+    ev = change_events(spark, 2_000, seed=79, delete_frac=0.0)
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(table, ev, epoch_id=0)
+    mv = MaterializedAggregate.create(
+        spark, tmp_path / "mv", table, ["repo", "lang"], AGGS
+    )
+
+    # rewrite EVERY live row of one lang into another lang → the old
+    # (repo, old_lang) groups must vanish, the new ones must absorb them
+    langs = [r["lang"] for r in table.read().select("lang").distinct().collect()]
+    src_lang, dst_lang = sorted(langs)[:2]
+    moved = (
+        table.read()
+        .filter(F.col("lang") == src_lang)
+        .select(
+            (F.col("last_event_seq") + 1_000_000).alias("event_seq"),
+            F.lit("upsert").alias("op"),
+            "repo", "path",
+            F.lit(dst_lang).alias("lang"),
+            "content",
+        )
+        .withColumn("event_ts", F.lit(0).cast("long"))
+        .withColumn("commit", F.lit("cmove"))
+    )
+    assert moved.count() > 0
+    replay_batch(table, moved, epoch_id=1)
+    r = mv.refresh(table)
+    assert r.mode == "recompute" and r.groups_deleted > 0
+    assert mv.read().filter(F.col("lang") == src_lang).count() == 0
+    _assert_frames_equal(mv.read(), _full(table, group=("repo", "lang")))
+
+
 def test_spec_validation(spark, tmp_path):
     ev = change_events(spark, 100, seed=78)
     table = create_repo_files_table(spark, tmp_path / "t", num_buckets=2)
