@@ -267,6 +267,45 @@ def main() -> None:
     compact(mor_table)  # fold deltas back to base
     mor_compact_sec = time.monotonic() - t0
 
+    # ---- incremental MV refresh vs full re-aggregation ----------------------
+    # The freshness operator: a per-repo rollup maintained from the change
+    # feed.  Baseline = MV create (full scan + aggregate + write — what a
+    # naive refresh pays every time).  Then one insert-only trickle epoch
+    # (additive path: O(changed rows), the base table never read) and one
+    # update/delete epoch (dirty-group recompute: column-pruned semi-joined
+    # scan of the touched groups only).
+    import pyspark.sql.functions as _F
+
+    from rocket_etl_spark.lake.materialized import MaterializedAggregate
+
+    cow_table = LakeTable.load(spark, f"{lake_dir}/t0")
+    t0 = time.monotonic()
+    mv = MaterializedAggregate.create(
+        spark, f"{lake_dir}/mv", cow_table, ["repo"],
+        [
+            ("n_files", "count", "*"),
+            ("sum_seq", "sum", "last_event_seq"),
+            ("max_seq", "max", "last_event_seq"),
+        ],
+    )
+    mv_full_sec = time.monotonic() - t0
+    ins = change_events(
+        spark, per, seed=45, n_repos=500, paths_per_repo=2000, delete_frac=0.0
+    ).withColumn("path", _F.concat(_F.lit("mvnew/"), _F.col("path")))
+    replay_batch(cow_table, ins, epoch_id=40)
+    t0 = time.monotonic()
+    r_add = mv.refresh(cow_table)
+    mv_add_sec = time.monotonic() - t0
+    upd = change_events(
+        spark, per, seed=46, n_repos=500, paths_per_repo=2000, delete_frac=0.05
+    )
+    replay_batch(cow_table, upd, epoch_id=41)
+    t0 = time.monotonic()
+    r_rec = mv.refresh(cow_table)
+    mv_rec_sec = time.monotonic() - t0
+    timings["mv_refresh_additive"] = round(mv_add_sec, 3)
+    timings["mv_refresh_recompute"] = round(mv_rec_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -290,6 +329,10 @@ def main() -> None:
                     "trickle_mor_speedup": round(trickle_sec["cow"] / trickle_sec["mor"], 2),
                     "mor_reconciling_read_sec": round(mor_read_sec, 3),
                     "mor_compact_sec": round(mor_compact_sec, 3),
+                    "mv_full_agg_sec": round(mv_full_sec, 3),
+                    "mv_refresh_modes": [r_add.mode, r_rec.mode],
+                    "mv_additive_speedup_vs_full": round(mv_full_sec / mv_add_sec, 2),
+                    "mv_recompute_speedup_vs_full": round(mv_full_sec / mv_rec_sec, 2),
                     "host_calibration": host_calibration(),
                 },
             }
