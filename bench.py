@@ -238,7 +238,11 @@ def main() -> None:
     from rocket_etl_spark.lake.maintenance import compact
     from rocket_etl_spark.lake.table import LakeTable
 
-    n_epochs, per = 16, max(2_000, n_events // 200)
+    # 8 epochs keeps the A/B meaningful while bounding bench wall-clock:
+    # the per-epoch COW decide cost dominates and is constant per epoch,
+    # so the ratio is insensitive to the epoch count (16-epoch runs
+    # recorded in BENCH/BASELINE.md round-5 measured the same shape)
+    n_epochs, per = 8, max(2_000, n_events // 200)
     trickle = change_events(
         spark, n_epochs * per, seed=44, n_repos=500, paths_per_repo=2000, delete_frac=0.05
     )
