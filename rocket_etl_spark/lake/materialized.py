@@ -196,16 +196,26 @@ class MaterializedAggregate:
         return self.table.read().drop(_SRC_SNAP_COL)
 
     # -------------------------------------------------------------- refresh
-    def refresh(self, source: LakeTable | None = None) -> RefreshResult:
-        source = source if source is not None else LakeTable.load(
-            self.spark, self.spec["source_path"]
-        )
+    def _plan_refresh(self, source: LakeTable) -> dict:
+        """Build the refresh's DataFrames without committing anything.
+
+        Returns ``{"mode": "noop", "advance": bool, ...}`` when there is
+        nothing to compute, else the lazy production DataFrames:
+        ``refreshed`` (the upsert aggregate), ``gone_rows`` (the delete
+        batch, recompute mode only, else None) and the change-set
+        ``stats`` row.  :meth:`refresh` commits these; the plan audit
+        (tools/dump_plans.py) ``explain``\\ s them — so the audited plan
+        IS the production plan, never a reconstruction.  In recompute
+        mode ``refreshed`` comes back cache()-marked and the caller owns
+        ``unpersist()``.
+        """
         group_cols = self.spec["group_cols"]
         aggs = [(n, f_, c) for n, f_, c in self.spec["aggs"]]
         last = self.spec["last_snapshot"]
         to_snap = source.current_snapshot()["snapshot_id"]
+        base = {"from_snapshot": last, "to_snapshot": to_snap}
         if to_snap <= last:
-            return RefreshResult("noop", last, to_snap, 0, 0)
+            return {"mode": "noop", "advance": False, **base}
 
         ch = source.changes(last, to_snap)
         # one pass over the (small) change set: volume, regime, dirty size
@@ -216,9 +226,7 @@ class MaterializedAggregate:
         ).first()
         if stats["n"] == 0:
             # metadata-only snapshots (compaction, wipes of empty ranges)
-            self.spec["last_snapshot"] = to_snap
-            _write_spec(self.path, self.spec)
-            return RefreshResult("noop", last, to_snap, 0, 0)
+            return {"mode": "noop", "advance": True, **base}
 
         additive = stats["non_insert"] == 0 and all(
             fn in _ADDITIVE_FNS for _, fn, _ in aggs
@@ -271,7 +279,7 @@ class MaterializedAggregate:
                 *group_cols,
                 *[_combine_expr(fn, name) for name, fn, _ in aggs],
             )
-            gone = None
+            gone_rows = None
             mode = "additive"
         else:
             # cache: the tiny (≤ dirty groups) agg result is referenced by
@@ -287,13 +295,6 @@ class MaterializedAggregate:
             gone = dirty.join(
                 refreshed.select(*group_cols), on=group_cols, how="left_anti"
             )
-            mode = "recompute"
-
-        batch = refreshed.withColumn(_SRC_SNAP_COL, F.lit(to_snap)).withColumn(
-            "op", F.lit("upsert")
-        )
-        n_deleted = 0
-        if gone is not None:
             mv_schema = self.table.current_schema()
             agg_types = {f.name: f.dtype for f in mv_schema.fields}
             gone_rows = gone.select(
@@ -305,13 +306,40 @@ class MaterializedAggregate:
                 F.lit(to_snap).alias(_SRC_SNAP_COL),
                 F.lit("delete").alias("op"),
             )
-            n_deleted = gone_rows.count()
+            mode = "recompute"
+
+        return {
+            "mode": mode, "refreshed": refreshed, "gone_rows": gone_rows,
+            "stats": stats, **base,
+        }
+
+    def refresh(self, source: LakeTable | None = None) -> RefreshResult:
+        source = source if source is not None else LakeTable.load(
+            self.spark, self.spec["source_path"]
+        )
+        plan = self._plan_refresh(source)
+        last, to_snap = plan["from_snapshot"], plan["to_snapshot"]
+        if plan["mode"] == "noop":
+            if plan["advance"]:
+                self.spec["last_snapshot"] = to_snap
+                _write_spec(self.path, self.spec)
+            return RefreshResult("noop", last, to_snap, 0, 0)
+
+        mode, refreshed = plan["mode"], plan["refreshed"]
+        batch = refreshed.withColumn(_SRC_SNAP_COL, F.lit(to_snap)).withColumn(
+            "op", F.lit("upsert")
+        )
+        n_deleted = 0
+        if plan["gone_rows"] is not None:
+            n_deleted = plan["gone_rows"].count()
             if n_deleted:
-                batch = batch.unionByName(gone_rows)
+                batch = batch.unionByName(plan["gone_rows"])
 
         try:
             # cached in recompute mode, so this count re-runs nothing big
-            n_refreshed = refreshed.count() if mode == "recompute" else int(stats["dirty"])
+            n_refreshed = (
+                refreshed.count() if mode == "recompute" else int(plan["stats"]["dirty"])
+            )
             merge_batch(self.table, batch, epoch_id=to_snap, app_id=_MV_APP_ID)
         finally:
             if mode == "recompute":
