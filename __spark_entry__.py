@@ -624,6 +624,24 @@ def _corpus_pack(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), budget=4000)
 
 
+def _validate_quarantine(spark, sf):
+    """Row validation with quarantine (plans/validate.py — the
+    marshmallow-validator surface): three declarative rules over orders
+    evaluated in ONE codegen'd pass, failing rows returned with their
+    joined violation names.  NULL-tolerant semantics (a NULL value only
+    fails not_null) are part of the contract the oracle replays."""
+    from rocket_etl_spark.plans.validate import annotate, in_range, in_set, matches
+
+    rules = [
+        in_range("o_totalprice", 1.0, 400000.0, name="price_range"),
+        in_set("o_orderstatus", ["O", "F"], name="status_set"),
+        matches("o_orderpriority", "^[1-3]-", name="priority_re"),
+    ]
+    ann = annotate(_t(spark, sf, "orders"), rules)
+    return ann.filter(F.size("_violations") > 0).select(
+        "o_orderkey", F.array_join("_violations", ",").alias("violations"))
+
+
 def _text_quality(spark, sf):
     return quality_metrics(_t(spark, sf, "documents"))
 
@@ -1091,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor": _cdc_replay_mor,
         "cdc_append": _cdc_append,
         "cdc_wipe_refresh": _cdc_wipe_refresh,
+        "validate_quarantine": _validate_quarantine,
     }
 
 
@@ -1777,5 +1796,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN event_seq > (SELECT t1 FROM thr) "
             "THEN length(content) END AS size_bytes "
             "FROM w WHERE rn = 1 AND op <> 'delete'"
+        ),
+        # validation/quarantine: replay the NULL-tolerant rule semantics —
+        # a failed rule contributes its name, concat_ws skips the NULLs
+        # of passing rules exactly like Spark's array_compact+array_join
+        "validate_quarantine": (
+            "WITH ann AS (SELECT o_orderkey, concat_ws(',', "
+            "CASE WHEN NOT coalesce(o_totalprice BETWEEN 1.0 AND 400000.0, TRUE) "
+            "THEN 'price_range' END, "
+            "CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), TRUE) "
+            "THEN 'status_set' END, "
+            "CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[1-3]-'), TRUE) "
+            "THEN 'priority_re' END) AS violations FROM orders) "
+            "SELECT o_orderkey, violations FROM ann WHERE violations <> ''"
         ),
     }

@@ -15,6 +15,9 @@ Marshmallow semantics map 1:1 (SURVEY.md §2.3):
   field type coercion  → TransformSpec.casts
   ''→None / allow_none → TransformSpec.null_norm columns
   @pre_load hooks      → TransformSpec.derived (name → SQL expression)
+  field validators     → ValidationSpec rules (plans/validate.py):
+  (OneOf/Range/Regexp/   one codegen'd pass collecting failed-rule names,
+   allow_none, custom)   rejects quarantined / dropped / job-fatal
 """
 
 from __future__ import annotations
@@ -50,6 +53,27 @@ class TransformSpec:
     filter: str | None = None                       # SQL predicate
 
 
+class ValidationError(Exception):
+    """Strict-mode validation failure (marshmallow's ValidationError)."""
+
+
+@dataclass(frozen=True)
+class ValidationSpec:
+    """The marshmallow-validator half of the job schema (plans/validate.py).
+
+    on_violation:
+      quarantine — write failing rows (+ ``_violations`` reasons) to
+                   ``quarantine_path``, load the rest (the reference's
+                   log-and-skip, but the rejects are a queryable table),
+      drop       — silently load only valid rows,
+      fail       — abort the job if ANY row fails (strict schema).
+    """
+
+    rules: tuple = ()
+    on_violation: str = "quarantine"   # quarantine | drop | fail
+    quarantine_path: str | None = None
+
+
 @dataclass(frozen=True)
 class DestSpec:
     mode: str                          # upsert | insert | overwrite | file
@@ -70,7 +94,32 @@ class JobSpec:
     name: str
     source: SourceSpec
     transform: TransformSpec = field(default_factory=TransformSpec)
+    validate: ValidationSpec | None = None
     dest: DestSpec | None = None
+
+
+def apply_validation(df: DataFrame, spec: JobSpec) -> DataFrame:
+    """Split per ``spec.validate`` and return the valid side.
+
+    fail mode pays one count action over the (cheap, reject-selective)
+    quarantine filter; quarantine mode pays the quarantine write —
+    both scan-bounded, neither collects rows to the driver."""
+    v = spec.validate
+    if v is None or not v.rules:
+        return df
+    from rocket_etl_spark.plans.validate import split
+
+    valid, quarantined = split(df, v.rules)
+    if v.on_violation == "fail":
+        n = quarantined.count()
+        if n:
+            raise ValidationError(f"job {spec.name!r}: {n} row(s) failed validation")
+    elif v.on_violation == "quarantine":
+        if v.quarantine_path:
+            quarantined.write.mode("append").parquet(v.quarantine_path)
+    elif v.on_violation != "drop":
+        raise ValueError(f"unknown on_violation {v.on_violation!r}")
+    return valid
 
 
 def extract(spark: SparkSession, spec: JobSpec) -> DataFrame:
@@ -156,7 +205,7 @@ def run_job(spark: SparkSession, spec: JobSpec, notifier=None) -> CommitResult |
     from rocket_etl_spark.notify import safe_notify
 
     try:
-        res = load(transform(extract(spark, spec), spec), spec)
+        res = load(apply_validation(transform(extract(spark, spec), spec), spec), spec)
     except Exception as e:
         safe_notify(notifier, {
             "kind": "job", "name": spec.name, "status": "failure", "error": str(e),
