@@ -1,4 +1,16 @@
+from rocket_etl_spark.lake.lookup import lookup
 from rocket_etl_spark.lake.merge import CommitResult, merge_batch
 from rocket_etl_spark.lake.table import LakeTable
+from rocket_etl_spark.lake.wap import (
+    abort_staged,
+    audit_staged,
+    publish_staged,
+    read_staged,
+    stage_merge,
+)
 
-__all__ = ["LakeTable", "merge_batch", "CommitResult"]
+__all__ = [
+    "LakeTable", "merge_batch", "CommitResult", "lookup",
+    "stage_merge", "read_staged", "audit_staged", "publish_staged",
+    "abort_staged",
+]

@@ -1,0 +1,124 @@
+"""Metadata-pruned point lookups: key → row without scanning the table.
+
+The serving-path read a CDC-maintained table owes its consumers: given
+a bounded set of keys ("this repo/path", "these 500 entities"), return
+their current rows touching only the files that can possibly hold them.
+Three metadata layers narrow the scan, each free at lookup time:
+
+1. **Bucket pruning** — keys hash to buckets (``pmod(xxhash64(keys),
+   N)``), so only the touched buckets' file lists are considered.  The
+   bucket ids are computed by a one-row-per-key Spark job over the SAME
+   ``bucket_of`` expression the writer uses — no Python reimplementation
+   of xxhash64 to drift out of sync.
+2. **Zone maps** — per-file key MIN/MAX from parquet footer statistics
+   (``kr`` entries, lake/merge.py): a file whose range excludes every
+   probe key is skipped.
+3. **Key blooms** — the 1 KB per-file blooms small commits attach: no
+   false negatives, so a bloom miss is a proof of absence.
+
+These are the same pruners the MERGE's decide scan trusts for
+correctness (`_prune_decide_files` — a false negative there would be a
+wrong merge), so the lookup inherits their no-false-negative guarantee:
+every file that may contain a probe key is read; files without metadata
+are always read.  On the trickle-CDC file layout (many small bloomed
+files between compactions) a point lookup reads O(files holding the
+key) instead of O(files in bucket) — the measured 2x+ decide-scan
+pruning (BENCH/BASELINE.md round 4) applied to reads.
+
+Merge-on-read safety: pruning never drops a file that may hold a probe
+key, so the per-key reconciliation input (``LakeTable.read``'s
+base+delta collapse) stays complete for every requested key — files the
+pruner skips provably contain no row of any probed key.
+
+At cluster scale this is the pattern Iceberg serves point reads with
+(manifest-entry column bounds + optional bloom filters); here the
+metadata lives in the snapshot JSON, bounded at ~1 KB per small file.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rocket_etl_spark.lake.merge import _bloom_safe_keys, _prune_decide_files
+from rocket_etl_spark.lake.table import LakeTable, bucket_of
+from rocket_etl_spark.schema.registry import TableSchema
+
+# a "point" lookup is bounded by contract: beyond this, use a join
+LOOKUP_MAX_KEYS = int(os.environ.get("SPARK_GRAFT_LOOKUP_MAX_KEYS", 100_000))
+
+
+def lookup(
+    table: LakeTable,
+    key_values: Sequence,
+    snapshot_id: int | None = None,
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, dict]:
+    """Current rows for the given key tuples (scalars OK for single-col
+    keys).  Deleted keys return no row; unknown keys return no row.
+    ``snapshot_id`` time-travels the lookup.  With ``return_stats``,
+    also returns ``{"buckets_touched", "files_scanned", "files_total"}``
+    for the touched buckets (pruning observability)."""
+    snap = (
+        table.snapshot(snapshot_id) if snapshot_id is not None
+        else table.current_snapshot()
+    )
+    keys = snap["key_cols"]
+    rows = [
+        tuple(kv) if isinstance(kv, (tuple, list)) else (kv,)
+        for kv in key_values
+    ]
+    if not rows:
+        raise ValueError("lookup needs at least one key")
+    if len(rows) > LOOKUP_MAX_KEYS:
+        raise ValueError(
+            f"{len(rows)} probe keys exceeds LOOKUP_MAX_KEYS="
+            f"{LOOKUP_MAX_KEYS}; join against table.read() instead"
+        )
+    if any(len(r) != len(keys) for r in rows):
+        raise ValueError(f"each key must have {len(keys)} parts ({keys})")
+
+    schema = TableSchema.from_json(
+        snap["schemas"][str(snap["current_schema_version"])]
+    )
+    full = schema.to_struct()
+    by_name = {f.name: f for f in full.fields}
+    key_struct = type(full)([by_name[k] for k in keys])  # field order == key order
+    keys_df = table.spark.createDataFrame(rows, key_struct)
+
+    # bucket ids via the writer's own expression — one tiny job, ≤ rows
+    probe = keys_df.withColumn(
+        "_b", bucket_of(keys, int(snap["num_buckets"]))
+    ).collect()
+    touched = sorted({r["_b"] for r in probe})
+    key_rows = [tuple(r[k] for k in keys) for r in probe]
+
+    file_subset = None
+    stats = {"buckets_touched": len(touched)}
+    from rocket_etl_spark.lake.merge import (
+        BLOOM_PROBE_MAX_KEYS,
+        RANGE_PROBE_MAX_KEYS,
+    )
+
+    pr = (
+        _prune_decide_files(
+            snap, touched, key_rows, keys, schema,
+            blooms=len(key_rows) <= BLOOM_PROBE_MAX_KEYS,
+            ranges=len(key_rows) <= RANGE_PROBE_MAX_KEYS,
+        )
+        if _bloom_safe_keys(schema, keys)
+        else None
+    )
+    if pr is not None:
+        file_subset, scanned, total = pr
+        stats |= {"files_scanned": scanned, "files_total": total}
+    else:
+        total = sum(len(snap["buckets"].get(str(b), [])) for b in touched)
+        stats |= {"files_scanned": total, "files_total": total}
+
+    df = table.read(buckets=touched, file_subset=file_subset, snap=snap)
+    out = df.join(F.broadcast(keys_df), on=list(keys), how="left_semi")
+    return (out, stats) if return_stats else out

@@ -340,7 +340,11 @@ def expire_snapshots(
                 out.update(fe["path"] for fe in files)
         return out
 
-    referenced = _refs(keep)
+    # live staged commits (write-audit-publish, lake/wap.py) reference
+    # freshly-written data files that no published snapshot knows yet —
+    # protect them until the stage is published or aborted
+    staged = list(table.snap_dir.glob("staged-*.json"))
+    referenced = _refs(keep) | _refs(staged)
     expired_refs = _refs(drop)
 
     now = _time.time()

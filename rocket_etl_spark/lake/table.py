@@ -245,6 +245,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         include_tombstones: bool = False,
         file_subset: set[str] | None = None,
+        snap: dict | None = None,
     ) -> DataFrame:
         """Current table state, optionally restricted to some buckets
         (file-level pruning — only those buckets' parquet files are read).
@@ -275,7 +276,14 @@ class LakeTable:
         entirely — the plain union path below — so the read-side cost is
         confined to delta-bearing buckets until compaction folds them.
         """
-        snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current_snapshot()
+        if snap is None:
+            # explicit ``snap`` = read an out-of-chain snapshot dict (a
+            # staged write-audit-publish commit — lake/wap.py's audit read)
+            snap = (
+                self.snapshot(snapshot_id)
+                if snapshot_id is not None
+                else self.current_snapshot()
+            )
         current = TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
         plain_by_sv: dict[int, list[str]] = {}
         rec_by_sv: dict[int, list[str]] = {}

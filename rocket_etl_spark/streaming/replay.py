@@ -203,6 +203,35 @@ def replay_batch(
             continue
 
 
+def stage_replay(
+    table: LakeTable,
+    events: DataFrame,
+    epoch_id: int | None = None,
+    renames: dict[str, str] | None = None,
+    use_pandas_udfs: bool = False,
+    app_id: str = "default",
+    mode: str = "cow",
+):
+    """``replay_batch`` whose commit is STAGED (write-audit-publish,
+    lake/wap.py): the full transform → align → MERGE runs, but the
+    result stays invisible until ``publish_staged`` — audit the staged
+    state first with ``read_staged``/``audit_staged``.  Returns a
+    ``StagedCommit``."""
+    from rocket_etl_spark.lake.wap import stage_merge
+
+    prepared = prepare_events(events, use_pandas_udfs=use_pandas_udfs, defer_hash=True)
+    derived = sha256_derived(use_pandas_udfs)
+    while True:
+        aligned, new_schema = align_batch(table, prepared, renames, skip_cols=set(derived))
+        try:
+            return stage_merge(
+                table, aligned, epoch_id=epoch_id, new_schema=new_schema,
+                app_id=app_id, derived_cols=derived, mode=mode,
+            )
+        except CommitConflict:
+            continue
+
+
 # --------------------------------------------------------------- lineage
 LINEAGE_DDL = (
     "epoch_id bigint, snapshot_id bigint, event_seq_min bigint, event_seq_max bigint, "
@@ -356,6 +385,8 @@ def replay_stream(
     notifier=None,
     mode: str = "cow",
     mor_compact_threshold: int | None = None,
+    refresh_mvs: list | None = None,
+    refresh_every: int = 1,
 ) -> list[CommitResult]:
     """Tail ``events_dir`` and MERGE each micro-batch (exactly-once).
 
@@ -390,6 +421,17 @@ def replay_stream(
     directory.  ``notifier`` (see ``rocket_etl_spark.notify``) receives a
     per-epoch event and a final stream summary; notifier failures never
     fail the run.
+
+    ``refresh_mvs=[MaterializedAggregate, ...]`` keeps downstream
+    rollups continuously fresh: after every ``refresh_every``-th
+    committed epoch each MV's incremental ``refresh()`` runs (additive
+    O(changes) on insert-only windows, dirty-group recompute otherwise —
+    lake/materialized.py).  Each refresh is exactly-once under the MV's
+    own app fence, so a crash between the table commit and the MV
+    refresh replays safely — the MV catches up from ``changes()`` on the
+    next trigger, never double-applying.  A refresh failure fails the
+    stream (the checkpoint replays the epoch; the table commit itself is
+    already fenced) rather than silently leaving the MV stale.
     """
     from rocket_etl_spark.notify import safe_notify
 
@@ -449,6 +491,13 @@ def replay_stream(
                 else None
             )
             compact(table, tombstone_watermark=wm)
+        if (
+            refresh_mvs
+            and not res.skipped
+            and len([r for r in results if not r.skipped]) % max(refresh_every, 1) == 0
+        ):
+            for mv in refresh_mvs:
+                mv.refresh(table)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -219,3 +219,53 @@ def test_spec_validation(spark, tmp_path):
             spark, tmp_path / "m3", table, ["repo"],
             [("repo", "count", "*")],
         )
+
+
+def test_stream_keeps_mv_continuously_fresh(spark, tmp_path):
+    """replay_stream(refresh_mvs=[mv]) maintains the rollup inside the
+    stream: after every committed micro-batch the MV equals a full GROUP
+    BY over the table at that moment (checked at the end for the final
+    state; the per-epoch path is the same fenced refresh()), and re-running
+    the drained stream refreshes nothing (fence no-op on both sides)."""
+    from test_replay_stream import _write_batches
+
+    from rocket_etl_spark.streaming.replay import replay_stream
+
+    _write_batches(spark, tmp_path / "events", n_batches=3, per_batch=800, seed=91)
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    mv = MaterializedAggregate.create(spark, tmp_path / "mv", table, ["repo"], AGGS)
+
+    results = replay_stream(
+        spark, table, tmp_path / "events", tmp_path / "ckpt",
+        max_files_per_trigger=1, refresh_mvs=[mv],
+    )
+    assert len([r for r in results if not r.skipped]) == 3
+    _assert_frames_equal(mv.read(), _full(table))
+
+    # drained re-run: no table commits, no MV movement
+    mv_snap = mv.table.current_snapshot()["snapshot_id"]
+    replay_stream(
+        spark, table, tmp_path / "events", tmp_path / "ckpt",
+        max_files_per_trigger=1, refresh_mvs=[mv],
+    )
+    assert mv.table.current_snapshot()["snapshot_id"] == mv_snap
+    _assert_frames_equal(mv.read(), _full(table))
+
+
+def test_stream_mv_refresh_every_n(spark, tmp_path):
+    """refresh_every=2 refreshes on every second committed epoch; the
+    final stream state may therefore lag by at most refresh_every-1
+    epochs — one trailing refresh() lands it exactly."""
+    from test_replay_stream import _write_batches
+
+    from rocket_etl_spark.streaming.replay import replay_stream
+
+    _write_batches(spark, tmp_path / "events", n_batches=3, per_batch=600, seed=92)
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    mv = MaterializedAggregate.create(spark, tmp_path / "mv", table, ["repo"], AGGS)
+    replay_stream(
+        spark, table, tmp_path / "events", tmp_path / "ckpt",
+        max_files_per_trigger=1, refresh_mvs=[mv], refresh_every=2,
+    )
+    mv.refresh(table)  # catch-up for the trailing odd epoch
+    _assert_frames_equal(mv.read(), _full(table))
