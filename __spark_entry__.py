@@ -74,6 +74,19 @@ def _scan_csv(spark, sf):
     return spark.read.option("header", True).schema("r_regionkey int, r_name string").csv(path)
 
 
+def _scan_sources(spark, sf):
+    """S1+S4 fused (r5 board seat): the parquet scan and the CSV
+    write/declared-schema read-back as tagged halves of one row — both
+    source formats stay driver-verified while freeing a window seat for
+    validate_quarantine.  Standalone scan_parquet/scan_csv remain past
+    position 50 (mirror-checked)."""
+    pq = _scan_parquet(spark, sf).select(
+        F.lit("parquet").alias("src"), "r_regionkey", "r_name")
+    cv = _scan_csv(spark, sf).select(
+        F.lit("csv").alias("src"), "r_regionkey", "r_name")
+    return pq.unionByName(cv)
+
+
 def _project(spark, sf):
     return _t(spark, sf, "customer").select("c_custkey", F.col("c_name").alias("cust_name"))
 
@@ -908,6 +921,73 @@ def _cdc_append(spark, sf):
     return table.read().select(*_CDC_STATE_COLS)
 
 
+def _cdc_point_lookup(spark, sf):
+    """Metadata-pruned point lookup (lake/lookup.py): replay the stream
+    as FOUR trickle epochs (per-file zone maps / blooms attach at write,
+    lake/merge.py), then look up every live key of one repo plus a known
+    miss.  The lookup computes buckets via the writer's own bucket
+    expression, prunes the file list through the same no-false-negative
+    bloom/zone probes the MERGE decide scan trusts, and reads only the
+    surviving files — the oracle recomputes the same rows from the raw
+    stream, so a wrong skip (a false negative) would surface as a
+    missing row."""
+    from rocket_etl_spark.lake.lookup import lookup
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    hi = ev.agg(F.max("event_seq")).first()[0]
+    table = _cdc_tmp_table(spark, sf, "lookup")
+    for i in range(4):
+        lo_b, hi_b = i * (hi + 1) // 4, (i + 1) * (hi + 1) // 4
+        replay_batch(
+            table,
+            ev.filter((F.col("event_seq") >= lo_b) & (F.col("event_seq") < hi_b)),
+            epoch_id=i,
+        )
+    probes = [
+        (r["repo"], r["path"])
+        for r in table.read()
+        .filter(F.col("repo") == "repo-7")
+        .select("repo", "path")
+        .collect()
+    ] + [("repo-7", "no/such/path.txt")]
+    return lookup(table, probes).select(*_CDC_STATE_COLS)
+
+
+def _cdc_wap_audit(spark, sf):
+    """Write-audit-publish (lake/wap.py): epoch 1 first arrives POISONED
+    (lang mangled to a shape no normalization accepts) and is staged; the
+    audit (declarative rules over the staged state) rejects it and the
+    stage is aborted — invisibly.  The clean epoch 1 is then staged,
+    passes audit, and publishes.  Final state must equal a plain two-epoch
+    replay: a broken audit (poison passes), a leaky stage (poison visible
+    without publish), or a lossy abort (epoch 1 unfenced/lost) each
+    surfaces as an oracle mismatch."""
+    from rocket_etl_spark.lake.wap import abort_staged, audit_staged, publish_staged
+    from rocket_etl_spark.plans.validate import matches
+    from rocket_etl_spark.streaming.replay import replay_batch, stage_replay
+
+    ev = _synth_cdc_events(spark, sf)
+    thr = ev.agg(F.max("event_seq")).first()[0] // 2
+    table = _cdc_tmp_table(spark, sf, "wap")
+    replay_batch(table, ev.filter(F.col("event_seq") <= thr), epoch_id=0)
+    rules = [matches("lang", "^[a-z0-9+#-]{1,12}$", name="lang_shape")]
+    poisoned = ev.filter(F.col("event_seq") > thr).withColumn("lang", F.lit("??POISON??"))
+    st = stage_replay(table, poisoned, epoch_id=1)
+    # honest wiring: IF the audit wrongly passes, the poison publishes and
+    # the oracle goes red — never assert-and-hide
+    if audit_staged(table, st, rules)["ok"]:
+        publish_staged(table, st)
+    else:
+        abort_staged(table, st)
+    st2 = stage_replay(table, ev.filter(F.col("event_seq") > thr), epoch_id=1)
+    if audit_staged(table, st2, rules)["ok"]:
+        publish_staged(table, st2)
+    else:
+        abort_staged(table, st2)
+    return table.read().select(*_CDC_STATE_COLS)
+
+
 def _cdc_wipe_refresh(spark, sf):
     """Wipe/full-refresh (the reference's always_wipe_data) through the
     jobspec load layer: replay the first half, then an overwrite load of
@@ -1015,21 +1095,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canonical one-row-per-§2-component set — every §2 operator, every
     dedup/ANN/text pipeline op, and all 8 end-to-end CDC engine queries
     (replay carries tagged cow+mor halves; append+wipe share a tagged
-    row; the incremental-MV refresh holds the freed seat since r5).
+    row; the incremental-MV refresh holds the freed seat since r5; late
+    r5 the two source scans fused into scan_sources' tagged halves,
+    seating validate_quarantine — the declarative row-validation pass).
     Redundant-coverage variants (salted LWW, cube/grouping-sets beside
     rollup, sliding/session beside tumbling, the unfused text forms,
     rows-only knn_ivf, standalone cdc_replay_mor/cdc_append/
-    cdc_wipe_refresh) sit past position 50; they stay fully callable and
-    are still checked by tests/ and tools/check_oracle.py."""
+    cdc_wipe_refresh/scan_parquet/scan_csv) sit past position 50; they
+    stay fully callable and are still checked by tests/ and
+    tools/check_oracle.py."""
     return {
-        # -- sources / projections (S1, S4, P1-P6)
-        "scan_parquet": _scan_parquet,
-        "scan_csv": _scan_csv,
+        # -- sources / projections / validation (S1+S4 fused, P1-P6, §2.3)
+        "scan_sources": _scan_sources,
         "project": _project,
         "cast_types": _cast_types,
         "filter_pred": _filter_pred,
         "null_norm": _null_norm,
         "derived_col": _derived_col,
+        "validate_quarantine": _validate_quarantine,
         # -- joins (J1-J6; anti is past-50, J4 keeps its row via join_semi)
         "join_inner": _join_inner,
         "join_broadcast": _join_broadcast,
@@ -1109,7 +1192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor": _cdc_replay_mor,
         "cdc_append": _cdc_append,
         "cdc_wipe_refresh": _cdc_wipe_refresh,
-        "validate_quarantine": _validate_quarantine,
+        "scan_parquet": _scan_parquet,
+        "scan_csv": _scan_csv,
+        "cdc_point_lookup": _cdc_point_lookup,
+        "cdc_wap_audit": _cdc_wap_audit,
     }
 
 
@@ -1281,6 +1367,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "scan_parquet": "SELECT * FROM region",
         "scan_csv": "SELECT * FROM region",
+        "scan_sources": (
+            "SELECT 'parquet' AS src, r_regionkey, r_name FROM region "
+            "UNION ALL SELECT 'csv' AS src, r_regionkey, r_name FROM region"
+        ),
         "project": "SELECT c_custkey, c_name AS cust_name FROM customer",
         "cast_types": (
             "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int, "
@@ -1795,6 +1885,27 @@ def oracle_sql() -> dict[str, str]:
             "event_seq AS last_event_seq, "
             "CASE WHEN event_seq > (SELECT t1 FROM thr) "
             "THEN length(content) END AS size_bytes "
+            "FROM w WHERE rn = 1 AND op <> 'delete'"
+        ),
+        # point lookup: the probe set is every live repo-7 key (plus one
+        # known miss) — the oracle recomputes exactly those rows from the
+        # raw stream; a pruning false-negative would drop a row here
+        "cdc_point_lookup": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq "
+            "FROM w WHERE rn = 1 AND op <> 'delete' AND repo = 'repo-7'"
+        ),
+        # write-audit-publish: abort of the poisoned stage + publish of the
+        # clean stage must land exactly the plain two-epoch replay state
+        "cdc_wap_audit": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq "
             "FROM w WHERE rn = 1 AND op <> 'delete'"
         ),
         # validation/quarantine: replay the NULL-tolerant rule semantics —

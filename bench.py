@@ -310,6 +310,33 @@ def main() -> None:
     timings["mv_refresh_additive"] = round(mv_add_sec, 3)
     timings["mv_refresh_recompute"] = round(mv_rec_sec, 3)
 
+    # ---- metadata-pruned point lookup vs full-filter read -------------------
+    # The serving path over the fragmented (trickle-CDC) table the runs
+    # above just produced: a bounded key probe through bucket + zone-map +
+    # bloom pruning (lake/lookup.py) vs the naive filter over a full
+    # table read.  Same answer (oracle row cdc_point_lookup); the bench
+    # records the file-scan ratio and both wall times.
+    from rocket_etl_spark.lake.lookup import lookup as _lookup
+
+    probe_keys = [
+        (r["repo"], r["path"])
+        for r in cow_table.read()
+        .select("repo", "path")
+        .orderBy("repo", "path")
+        .limit(8)
+        .collect()
+    ]
+    t0 = time.monotonic()
+    lk_df, lk_stats = _lookup(cow_table, probe_keys, return_stats=True)
+    _force(lk_df)
+    timings["lookup_pruned"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    cond = _F.struct("repo", "path").isin(
+        [_F.struct(_F.lit(a), _F.lit(b)) for a, b in probe_keys]
+    )
+    _force(cow_table.read().filter(cond))
+    timings["lookup_full_filter"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -333,6 +360,8 @@ def main() -> None:
                     "trickle_mor_speedup": round(trickle_sec["cow"] / trickle_sec["mor"], 2),
                     "mor_reconciling_read_sec": round(mor_read_sec, 3),
                     "mor_compact_sec": round(mor_compact_sec, 3),
+                    "lookup_files_scanned": lk_stats.get("files_scanned"),
+                    "lookup_files_total": lk_stats.get("files_total"),
                     "mv_full_agg_sec": round(mv_full_sec, 3),
                     "mv_refresh_modes": [r_add.mode, r_rec.mode],
                     "mv_additive_speedup_vs_full": round(mv_full_sec / mv_add_sec, 2),

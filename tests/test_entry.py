@@ -48,8 +48,11 @@ FIRST_50 = [
     # cdc_mv_incremental (incremental materialized-view refresh).  All
     # standalone variants remain past position 50 with their oracles
     # (mirror-checked).
-    "scan_parquet", "scan_csv", "project", "cast_types", "filter_pred",
-    "null_norm", "derived_col",
+    # late-r5 (deliberate): scan_parquet+scan_csv fused into scan_sources'
+    # tagged halves, seating validate_quarantine (row validation with
+    # quarantine) — the last r5 operator that was mirror-only.
+    "scan_sources", "project", "cast_types", "filter_pred",
+    "null_norm", "derived_col", "validate_quarantine",
     "join_inner", "join_broadcast", "join_outer", "join_semi", "join_range",
     "asof_latest",
     "agg_basic", "agg_rollup", "agg_collect",
