@@ -387,6 +387,8 @@ def replay_stream(
     mor_compact_threshold: int | None = None,
     refresh_mvs: list | None = None,
     refresh_every: int = 1,
+    audit_rules: list | None = None,
+    quarantine_dir: str | Path | None = None,
 ) -> list[CommitResult]:
     """Tail ``events_dir`` and MERGE each micro-batch (exactly-once).
 
@@ -432,9 +434,28 @@ def replay_stream(
     next trigger, never double-applying.  A refresh failure fails the
     stream (the checkpoint replays the epoch; the table commit itself is
     already fenced) rather than silently leaving the MV stale.
+
+    ``audit_rules`` turns every micro-batch into a write–audit–publish
+    commit (lake/wap.py): the MERGE runs into an invisible staged
+    snapshot, the rules audit the WOULD-BE table state, and only a clean
+    batch publishes.  A failing batch is aborted — and because the
+    Structured Streaming checkpoint will mark the batch consumed
+    regardless, its raw events are appended to ``quarantine_dir``
+    (parquet, with ``_epoch_id`` and ``_quarantined_ts`` columns) so
+    nothing is silently dropped: the operator replays the fixed batch
+    from quarantine with ``replay_batch`` once upstream is repaired (its
+    epoch stayed unfenced).  ``audit_rules`` without a
+    ``quarantine_dir`` raises: an audited stream with nowhere to put
+    rejects would be a silent-loss trap.
     """
     from rocket_etl_spark.notify import safe_notify
 
+    if audit_rules and quarantine_dir is None:
+        raise ValueError(
+            "audit_rules without quarantine_dir would silently drop "
+            "rejected batches (the stream checkpoint marks them consumed) "
+            "— give the rejects somewhere to land"
+        )
     if app_id is None:
         import hashlib
 
@@ -460,11 +481,53 @@ def replay_stream(
         prepared = prepare_events(batch_df, defer_hash=True)
         derived = sha256_derived()
         aligned, new_schema = align_batch(table, prepared, renames, skip_cols=set(derived))
-        res = merge_batch(
-            table, aligned, epoch_id=epoch_id, new_schema=new_schema,
-            app_id=app_id, derived_cols=derived, mode=mode,
-            mor_compact_threshold=mor_compact_threshold,
-        )
+        if audit_rules:
+            # write–audit–publish per micro-batch: merge into an invisible
+            # staged snapshot, audit the would-be state, publish only if
+            # clean.  A rejected batch aborts (no trace, epoch unfenced)
+            # and its RAW events land in the quarantine sink — the
+            # checkpoint will mark the batch consumed either way, so the
+            # quarantine is the only durable copy of a poisoned epoch.
+            from rocket_etl_spark.lake.wap import (
+                abort_staged,
+                audit_staged,
+                publish_staged,
+                stage_merge,
+            )
+
+            st = stage_merge(
+                table, aligned, epoch_id=epoch_id, app_id=app_id,
+                new_schema=new_schema, derived_cols=derived, mode=mode,
+            )
+            res = st.result
+            if not res.skipped:
+                audit = audit_staged(table, st, audit_rules)
+                if audit["ok"]:
+                    publish_staged(table, st)
+                else:
+                    abort_staged(table, st)
+                    (
+                        batch_df
+                        .withColumn("_epoch_id", F.lit(epoch_id).cast("long"))
+                        .withColumn("_quarantined_ts", F.current_timestamp())
+                        .write.mode("append").parquet(str(quarantine_dir))
+                    )
+                    safe_notify(notifier, {
+                        "kind": "epoch", "app_id": app_id, "epoch_id": epoch_id,
+                        "status": "audit_rejected",
+                        "violations": audit["violations"],
+                        "by_rule": audit["by_rule"],
+                    })
+                    res = CommitResult(
+                        snapshot_id=table.current_snapshot()["snapshot_id"],
+                        epoch_id=epoch_id, skipped=True,
+                    )
+        else:
+            res = merge_batch(
+                table, aligned, epoch_id=epoch_id, new_schema=new_schema,
+                app_id=app_id, derived_cols=derived, mode=mode,
+                mor_compact_threshold=mor_compact_threshold,
+            )
         res.wall_ms = int((time.monotonic() - t0) * 1000)
         append_lineage(spark, table, res)
         results.append(res)

@@ -172,3 +172,72 @@ def test_action_counts_spark_fallback_matches_pyarrow(spark, tmp_path):
         up = counts.get("insert", 0) + counts.get("update", 0)
         assert up == by_bucket[b]["rows_upserted"]
         assert counts.get("delete", 0) == by_bucket[b]["rows_deleted"]
+
+
+def test_stream_audit_quarantines_poisoned_batch(spark, tmp_path):
+    """audit_rules: each micro-batch is staged, audited, and published
+    only if clean; a poisoned batch aborts invisibly, its raw events land
+    in the quarantine sink, its epoch stays unfenced, and the final state
+    equals a replay of the clean batches only."""
+    import pytest
+
+    from rocket_etl_spark.generate import change_events
+    from rocket_etl_spark.plans.validate import matches
+    from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_stream
+
+    import pyspark.sql.functions as F
+
+    events = change_events(spark, 3_600, seed=31, delete_frac=0.1)
+    per = 1_200
+    slices = [
+        events.filter((events.event_seq >= i * per) & (events.event_seq < (i + 1) * per))
+        for i in range(3)
+    ]
+    poisoned = slices[1].withColumn("lang", F.lit("??poison??"))
+    for i, b in enumerate([slices[0], poisoned, slices[2]]):
+        _write_one(b, tmp_path / "events", f"batch-{i}")
+
+    table = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    rules = [matches("lang", "^[a-z0-9+#-]{1,12}$", name="lang_shape")]
+    with pytest.raises(ValueError, match="quarantine"):
+        replay_stream(
+            spark, table, tmp_path / "events", tmp_path / "ckpt0", audit_rules=rules
+        )
+    results = replay_stream(
+        spark, table, tmp_path / "events", tmp_path / "ckpt",
+        max_files_per_trigger=1, audit_rules=rules,
+        quarantine_dir=tmp_path / "quarantine",
+    )
+    assert len(results) == 3
+    rejected = [r for r in results if r.skipped]
+    assert len(rejected) == 1
+
+    # final state == LWW replay of the two CLEAN batches only
+    eng = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ora = replay_oracle([slices[0].toPandas(), slices[2].toPandas()])
+    pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+
+    # quarantine holds exactly the poisoned batch's raw events, stamped
+    q = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert q.count() == per
+    assert set(q.select("lang").distinct().toPandas()["lang"]) == {"??poison??"}
+    (qe,) = q.select("_epoch_id").distinct().toPandas()["_epoch_id"].tolist()
+    assert qe == rejected[0].epoch_id
+    # the rejected epoch is unfenced: replaying the REPAIRED batch lands it
+    assert not table.is_epoch_committed(int(qe), app_id=_stream_app_id(tmp_path / "ckpt"))
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    replay_batch(table, slices[1], epoch_id=int(qe),
+                 app_id=_stream_app_id(tmp_path / "ckpt"))
+    eng2 = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ora2 = replay_oracle([s.toPandas() for s in slices])
+    pd.testing.assert_frame_equal(eng2[ora2.columns], ora2, check_dtype=False)
+
+
+def _stream_app_id(checkpoint_dir):
+    import hashlib
+    from pathlib import Path
+
+    return "stream-" + hashlib.sha256(
+        str(Path(checkpoint_dir).resolve()).encode()
+    ).hexdigest()[:12]
