@@ -47,11 +47,29 @@ def main() -> None:
     ap.add_argument("--mor-compact-threshold", type=int, default=None,
                     help="auto-fold any bucket whose merge-on-read delta depth "
                          "reaches N (bounds read amplification)")
+    ap.add_argument("--audit-rules", default=None,
+                    help="JSON list (inline or a .json file path) of row rules "
+                         "(plans.validate.rules_from_json); every micro-batch "
+                         "is then staged, audited against the would-be table "
+                         "state, and published only if clean (write-audit-"
+                         "publish) -- requires --quarantine")
+    ap.add_argument("--quarantine", default=None,
+                    help="parquet dir where a rejected batch's raw events land "
+                         "(stamped _epoch_id/_quarantined_ts; the epoch stays "
+                         "unfenced for a repaired replay)")
     ap.add_argument("--stats", action="store_true",
                     help="print metadata-only table stats after the run")
     args = ap.parse_args()
 
+
     spark = build_session(app_name="cdc-replay")
+    audit_rules = None
+    if args.audit_rules:
+        # after build_session: rule predicates are Column expressions and
+        # need the active SparkContext
+        from rocket_etl_spark.plans.validate import rules_from_json
+
+        audit_rules = rules_from_json(args.audit_rules)
     if args.create:
         table = create_repo_files_table(spark, args.table, num_buckets=args.buckets)
     else:
@@ -70,6 +88,8 @@ def main() -> None:
         app_id=args.app_id,
         mode=args.mode,
         mor_compact_threshold=args.mor_compact_threshold,
+        audit_rules=audit_rules,
+        quarantine_dir=args.quarantine,
     )
     for r in results:
         print(

@@ -116,6 +116,40 @@ def ref_exists(cols: Iterable[str], ref: DataFrame, ref_cols: Iterable[str] | No
                 ref=ref, ref_cols=tuple(ref_cols) if ref_cols else cols, hint=hint)
 
 
+def rules_from_json(spec) -> list[Rule]:
+    """Build row-level rules from a JSON spec — the CLI surface for
+    spark-submit jobs (jobs/replay_job.py ``--audit-rules``).
+
+    ``spec``: a list of dicts, a JSON string, or a path to a .json file.
+    Each dict: ``{"rule": "matches"|"in_set"|"in_range"|"not_null"|
+    "check", ...kwargs}`` mirroring the constructor of the same name,
+    e.g. ``{"rule": "matches", "col": "lang", "pattern": "^[a-z]+$",
+    "name": "lang_shape"}``.  Set-level rules (unique_key / ref_exists)
+    need live DataFrames and are deliberately NOT expressible here."""
+    import json
+    import os
+
+    if isinstance(spec, str):
+        spec = json.loads(
+            open(spec).read() if os.path.exists(spec) else spec
+        )
+    builders = {
+        "not_null": not_null, "in_set": in_set, "in_range": in_range,
+        "matches": matches, "check": check,
+    }
+    out: list[Rule] = []
+    for i, d in enumerate(spec):
+        d = dict(d)
+        kind = d.pop("rule", None)
+        if kind not in builders:
+            raise ValueError(
+                f"rules_from_json[{i}]: unknown rule {kind!r} "
+                f"(expected one of {sorted(builders)})"
+            )
+        out.append(builders[kind](**d))
+    return out
+
+
 def annotate(df: DataFrame, rules: Iterable[Rule],
              violations_col: str = VIOLATIONS_COL) -> DataFrame:
     """One pass: append ``violations_col`` = array of failed rule names

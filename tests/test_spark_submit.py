@@ -91,3 +91,57 @@ def test_spark_submit_replay_job_end_to_end(spark, tmp_path, mode):
     assert live.count() > 0
     # every live key is a real key; deletes were applied (fewer than all)
     assert live.select("repo", "path").distinct().count() == live.count() <= expected_keys
+
+
+def test_spark_submit_audited_replay(spark, tmp_path):
+    """--audit-rules (write-audit-publish per micro-batch) through the
+    real spark-submit CLI: a clean batch passes the audit and publishes."""
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not pathlib.Path(spark_submit).exists():
+        pytest.skip("spark-submit not on PATH")
+
+    sys.path.insert(0, str(REPO))
+    from rocket_etl_spark.generate import change_events
+    from tools.package import build
+
+    ev = change_events(spark, 1_500, seed=78, delete_frac=0.1)
+    (tmp_path / "events").mkdir()
+    t = tempfile.mkdtemp()
+    ev.coalesce(1).write.parquet(t + "/o")
+    part = next(pathlib.Path(t + "/o").glob("part-*.parquet"))
+    shutil.move(str(part), str(tmp_path / "events" / "b0.parquet"))
+
+    rules = tmp_path / "rules.json"
+    rules.write_text(
+        '[{"rule": "matches", "col": "lang", "pattern": "^[a-z0-9+#-]{1,12}$",'
+        ' "name": "lang_shape"},'
+        ' {"rule": "check", "name": "seq_nonneg", "sql_predicate": "last_event_seq >= 0"}]'
+    )
+    z = build(tmp_path / "rocket_etl_spark.zip")
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", str(z),
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            str(REPO / "jobs" / "replay_job.py"),
+            "--events", str(tmp_path / "events"),
+            "--table", str(tmp_path / "table"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--create", "--buckets", "4",
+            "--audit-rules", str(rules),
+            "--quarantine", str(tmp_path / "quarantine"),
+        ],
+        capture_output=True, text=True, timeout=420,
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+    assert "epoch=0" in out.stdout and "skipped=False" in out.stdout
+
+    from rocket_etl_spark.lake.table import LakeTable
+
+    table = LakeTable.load(spark, tmp_path / "table")
+    assert table.read().count() > 0          # audit passed -> published
+    assert not (tmp_path / "quarantine").exists()  # nothing rejected

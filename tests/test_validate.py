@@ -133,3 +133,32 @@ def test_jobspec_quarantine_and_fail(spark, tmp_path):
     )
     with pytest.raises(ValidationError, match="1 row"):
         apply_validation(transform(extract(spark, strict), strict), strict)
+
+
+def test_rules_from_json_surface(spark):
+    """CLI rule specs (inline JSON, list-of-dicts, file path handled by the
+    same code) build the same rules the Python surface does; unknown rule
+    names fail loudly."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from rocket_etl_spark.plans.validate import annotate, rules_from_json
+
+    spec = (
+        '[{"rule": "matches", "col": "b", "pattern": "^x", "name": "b_shape"},'
+        ' {"rule": "in_range", "col": "a", "lo": 0, "hi": 10},'
+        ' {"rule": "not_null", "col": "b"}]'
+    )
+    df = spark.createDataFrame(
+        [(5, "xok"), (20, None), (-1, "ybad")], "a int, b string"
+    )
+    ann = annotate(df, rules_from_json(spec))
+    got = {
+        r["a"]: sorted(r["_violations"])
+        for r in ann.select("a", "_violations").collect()
+    }
+    assert got[5] == []
+    assert got[20] == ["in_range_a", "not_null_b"]  # NULL b passes b_shape
+    assert got[-1] == ["b_shape", "in_range_a"]
+    with pytest.raises(ValueError, match="unknown rule"):
+        rules_from_json('[{"rule": "frobnicate", "col": "a"}]')
