@@ -122,3 +122,87 @@ def lookup(
     df = table.read(buckets=touched, file_subset=file_subset, snap=snap)
     out = df.join(F.broadcast(keys_df), on=list(keys), how="left_semi")
     return (out, stats) if return_stats else out
+
+
+def range_scan(
+    table: LakeTable,
+    col: str,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, dict]:
+    """Rows with ``lo <= col <= hi`` (either bound optional), reading only
+    the files whose zone map can overlap the range.
+
+    Buckets are hash-distributed, so every bucket participates — the
+    pruning is at FILE granularity via the per-file key MIN/MAX (``kr``)
+    zone maps.  On a freshly-trickled table each small file spans few
+    keys, so selective ranges skip most files; after a CLUSTERED
+    compaction (``compact(sort_cols=[...], target_file_rows=...)``) each
+    bucket is disjoint sorted slices and a range touches ~1 slice per
+    bucket — the layout this scan is designed to exploit, the same
+    composition as Iceberg's sort-order rewrite + manifest column
+    bounds.  A file with no zone map for ``col`` is always read (no
+    false negatives); the residual predicate re-applies exactly, so
+    pruning can never change the answer.
+
+    ``col`` must be a key column (only key columns carry zone maps).
+    The residual filter also pushes into the parquet scan as a normal
+    min/max row-group filter — file pruning here saves the OPEN of
+    excluded files, which dominates on a high-file-count trickle layout.
+    """
+    snap = (
+        table.snapshot(snapshot_id) if snapshot_id is not None
+        else table.current_snapshot()
+    )
+    keys = snap["key_cols"]
+    if col not in keys:
+        raise ValueError(
+            f"range_scan needs a key column (zone-mapped); {col!r} not in {keys}"
+        )
+    if lo is None and hi is None:
+        raise ValueError("range_scan needs at least one bound")
+    schema = TableSchema.from_json(
+        snap["schemas"][str(snap["current_schema_version"])]
+    )
+    from rocket_etl_spark.lake.merge import _range_canon
+
+    dt = schema.field_by_name(col).dtype.lower().split("(")[0].strip()
+    clo = _range_canon(lo, dt) if lo is not None else None
+    chi = _range_canon(hi, dt) if hi is not None else None
+
+    subset: set[str] = set()
+    total = scanned = 0
+    prunable = True
+    for files in snap["buckets"].values():
+        for fe in files:
+            total += 1
+            kr = (fe.get("kr") or {}).get(col)
+            # keep unless the zone map PROVES disjointness with [lo, hi]
+            if kr is not None and (
+                (chi is not None and kr[0] > chi)
+                or (clo is not None and kr[1] < clo)
+            ):
+                continue
+            subset.add(fe["path"])
+            scanned += 1
+    if scanned == total:
+        subset_arg = None  # nothing pruned — skip the subset bookkeeping
+        prunable = False
+    else:
+        subset_arg = subset
+    df = table.read(file_subset=subset_arg, snap=snap)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    out = df.filter(pred)
+    if not return_stats:
+        return out
+    return out, {
+        "files_scanned": scanned,
+        "files_total": total,
+        "pruned": prunable,
+    }

@@ -95,3 +95,38 @@ def test_lookup_bounds_and_shape_errors(spark, tmp_path):
         lookup(t, [])
     with pytest.raises(ValueError):
         lookup(t, [("only-one-part",)])
+
+
+def test_range_scan_equals_filter_and_prunes_after_clustering(spark, tmp_path):
+    """range_scan returns exactly read().filter(lo <= col <= hi); after a
+    CLUSTERED compaction (sorted disjoint slices + zone maps) a selective
+    range provably skips files."""
+    from rocket_etl_spark.lake.lookup import range_scan
+    from rocket_etl_spark.lake.maintenance import compact
+
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    for i in range(6):
+        ev = change_events(spark, 300, seed=40 + i).withColumn(
+            "path", F.concat(F.lit(f"e{i}/"), F.col("path"))
+        )
+        replay_batch(t, ev, epoch_id=i)
+
+    lo, hi = "org2", "org5"  # covers org2/... through org4/...
+    want = t.read().filter((F.col("repo") >= lo) & (F.col("repo") <= hi))
+    got = range_scan(t, "repo", lo, hi)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+    compact(t, sort_cols=["repo", "path"], target_file_rows=150, min_files=1)
+    got2, stats = range_scan(t, "repo", lo, hi, return_stats=True)
+    assert _rows(got2) == _rows(want)  # same snapshot content post-compact
+    assert stats["pruned"] and stats["files_scanned"] < stats["files_total"]
+
+    # open-ended bounds + misuse errors
+    assert _rows(range_scan(t, "repo", lo=None, hi="org1")) == _rows(
+        t.read().filter(F.col("repo") <= "org1")
+    )
+    with pytest.raises(ValueError, match="key column"):
+        range_scan(t, "content", "a", "b")
+    with pytest.raises(ValueError, match="bound"):
+        range_scan(t, "repo")
