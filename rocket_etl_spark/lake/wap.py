@@ -142,14 +142,16 @@ def stage_merge(
         )
     tag = uuid.uuid4().hex[:12]
     st = _StagingTable(table, tag)
-    res = merge_batch(
-        st, batch, epoch_id=epoch_id, app_id=app_id, new_schema=new_schema,
-        derived_cols=derived_cols, mode=mode,
-    )
-    if res.skipped:
-        # epoch already committed (fence) — nothing was written or staged
-        return StagedCommit(tag=tag, table_path=str(table.path),
-                            parent_id=snap["snapshot_id"], result=res)
+    try:
+        res = merge_batch(
+            st, batch, epoch_id=epoch_id, app_id=app_id, new_schema=new_schema,
+            derived_cols=derived_cols, mode=mode,
+        )
+    except Exception:
+        # a failed stage must not strand its marker (data files it wrote
+        # pre-failure are unreferenced orphans — age-guarded GC's job)
+        (table.snap_dir / f"staged-{tag}.json").unlink(missing_ok=True)
+        raise
     return StagedCommit(tag=tag, table_path=str(table.path),
                         parent_id=snap["snapshot_id"], result=res)
 
@@ -174,6 +176,9 @@ def audit_staged(
     aggregates per rule name."""
     from rocket_etl_spark.plans.validate import VIOLATIONS_COL, annotate
 
+    if staged.result.skipped:
+        # fence no-op: nothing was staged, there is no state to audit
+        return {"ok": True, "violations": 0, "by_rule": {}}
     ann = annotate(read_staged(table, staged), rules)
     rows = (
         ann.select(F.explode(VIOLATIONS_COL).alias("rule"))
@@ -220,6 +225,19 @@ def abort_staged(table: LakeTable, staged: StagedCommit) -> dict:
     if staged.result.skipped or not staged.marker.exists():
         return {"aborted": False, "files_removed": 0}
     snap = staged.snapshot()
+    # crash-window guard: if the publish CAS succeeded but the process
+    # died before unlinking the marker, the staged content IS the
+    # published snapshot and its added files are live — a later abort
+    # must only clean the marker, never the files.  The added-file paths
+    # embed a per-stage uuid, so equality identifies this stage exactly.
+    pub_path = staged.marker.parent / f"snapshot-{snap['snapshot_id']:08d}.json"
+    if pub_path.exists():
+        with open(pub_path) as f:
+            pub = json.load(f)
+        if pub.get("added_files") == snap.get("added_files"):
+            staged.marker.unlink(missing_ok=True)
+            return {"aborted": False, "files_removed": 0,
+                    "reason": "stage was already published"}
     removed = 0
     for files in snap.get("added_files", {}).values():
         for fe in files:

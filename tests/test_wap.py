@@ -157,6 +157,10 @@ def test_staged_epoch_fence_exactly_once(spark, tmp_path):
     assert publish_staged(t, st2) == {
         "published": False, "reason": "epoch already committed",
     }
+    # auditing a fence-skipped stage is a clean no-op (nothing was staged)
+    assert audit_staged(
+        t, st2, [matches("lang", "^[a-z0-9+#-]{1,12}$", name="lang_shape")]
+    ) == {"ok": True, "violations": 0, "by_rule": {}}
     assert abort_staged(t, st2)["aborted"] is False
     pd.testing.assert_frame_equal(_state(t), state)
 
@@ -177,6 +181,44 @@ def test_stage_mor_mode_and_cow_on_deltas_raises(spark, tmp_path):
     replay_batch(direct, _events(spark, 300, seed=9), epoch_id=1)
     replay_batch(direct, _events(spark, 300, seed=10), epoch_id=2)
     pd.testing.assert_frame_equal(_state(t), _state(direct))
+
+
+def test_failed_stage_strands_no_marker(spark, tmp_path):
+    from rocket_etl_spark.lake.wap import stage_merge
+    from rocket_etl_spark.streaming.replay import prepare_events
+
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(t, _events(spark, 1_000), epoch_id=0)
+    batch = prepare_events(_events(spark, 500, seed=9))
+    with pytest.raises(Exception):
+        stage_merge(t, batch, epoch_id=1,
+                    derived_cols={"bad": "no_such_function(repo)"})
+    # the failed stage left no audit-window marker behind
+    assert list_staged(t) == []
+    # and the epoch is still stageable
+    st = stage_replay(t, _events(spark, 500, seed=9), epoch_id=1)
+    assert publish_staged(t, st)["published"]
+
+
+def test_abort_after_publish_crash_window_keeps_live_files(spark, tmp_path):
+    import json
+
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(t, _events(spark, 1_000), epoch_id=0)
+    st = stage_replay(t, _events(spark, 500, seed=9), epoch_id=1)
+    snap = st.snapshot()
+    assert publish_staged(t, st)["published"]
+    # simulate the crash ordering: publish CAS landed, marker unlink did
+    # not — a recovery process later calls abort on the stale handle
+    with open(st.marker, "w") as f:
+        json.dump(snap, f)
+    state = _state(t)
+    res = abort_staged(t, st)
+    assert res["aborted"] is False and res["files_removed"] == 0
+    assert res.get("reason") == "stage was already published"
+    assert list_staged(t) == []
+    # the published files are all still live and readable
+    pd.testing.assert_frame_equal(_state(t), state)
 
 
 def test_expire_protects_live_staged_files(spark, tmp_path):
