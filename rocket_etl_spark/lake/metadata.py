@@ -1,0 +1,208 @@
+"""Queryable metadata tables: ``snapshots`` / ``files`` / ``history``.
+
+Iceberg exposes its manifest state as SQL-queryable metadata tables
+(``tbl.snapshots``, ``tbl.files``, ``tbl.history``); operators build
+their monitoring, debt dashboards, and incident forensics on them.
+This module is the same surface over the local snapshot chain: each
+function reads ONLY metadata — snapshot JSON plus parquet footers and
+inode sizes, never data pages — and returns a small DataFrame so the
+result composes with joins/filters/SQL like any other table.
+
+Scale contract: the returned frames are metadata-sized — O(snapshots
+retained) and O(live files), the same rows Iceberg's metadata tables
+materialize from manifests — and are built driver-side for that reason
+(a 100 TB table has ~10^5 files and ~10^4 retained snapshots; the data
+itself never moves).  ``expire_snapshots`` bounds both axes.
+
+Reference semantics: upstream rocket-etl's only introspection is job
+logs; the lake-native re-expression is table-shaped observability,
+matching how its CKAN datastore exposes resource metadata as queryable
+rows.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from rocket_etl_spark.lake.table import LakeTable
+
+_SNAPSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("parent_id", T.LongType(), True),
+        T.StructField("epoch_id", T.LongType(), True),
+        T.StructField("app_id", T.StringType(), True),
+        T.StructField("operation", T.StringType(), False),
+        T.StructField("committed_at", T.TimestampType(), True),
+        T.StructField("schema_version", T.LongType(), True),
+        T.StructField("total_files", T.LongType(), False),
+        T.StructField("added_files", T.LongType(), False),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("is_current", T.BooleanType(), False),
+    ]
+)
+
+_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("schema_version", T.LongType(), True),
+        T.StructField("rows", T.LongType(), True),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("has_bloom", T.BooleanType(), False),
+        T.StructField("bloom_bytes", T.LongType(), True),
+        T.StructField("key_min", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("key_max", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("parent_id", T.LongType(), True),
+        T.StructField("epoch_id", T.LongType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+        T.StructField("is_current", T.BooleanType(), False),
+    ]
+)
+
+
+def _operation(snap: dict) -> str:
+    """Classify a snapshot the way Iceberg's ``operation`` column does,
+    from the stats the writers already record."""
+    stats = snap.get("stats") or {}
+    if stats.get("wiped"):
+        return "overwrite"
+    if stats.get("compacted") or "rebucketed_from" in stats:
+        return "replace"  # rewrite without logical change (compact/rebucket)
+    if stats.get("mor"):
+        return "delta-append"
+    if stats.get("appended"):
+        return "append"
+    if "rows_total" in stats and not snap.get("buckets"):
+        return "create"
+    return "merge"
+
+
+def _committed_at(table: LakeTable, snapshot_id: int):
+    from datetime import datetime, timezone
+
+    p = table.snap_dir / f"snapshot-{snapshot_id:08d}.json"
+    try:
+        return datetime.fromtimestamp(p.stat().st_mtime, tz=timezone.utc)
+    except OSError:
+        return None
+
+
+def snapshots(table: LakeTable) -> DataFrame:
+    """One row per RETAINED snapshot (Iceberg ``tbl.snapshots``).
+
+    ``operation`` distinguishes merge / append / delta-append (MOR) /
+    overwrite (wipe) / replace (compaction, rebucket); ``committed_at``
+    is the snapshot file's mtime (the chain carries no clock of its own
+    — commit identity is the CAS'd id, not wall time)."""
+    rows = []
+    tip = table.current_snapshot()
+    tip_id = tip["snapshot_id"] if tip else None
+    for p in table._snapshot_files():
+        with open(p) as f:
+            snap = json.load(f)
+        stats = snap.get("stats") or {}
+        rows.append(
+            (
+                snap["snapshot_id"],
+                snap.get("parent_id"),
+                snap.get("epoch_id"),
+                snap.get("app_id"),
+                _operation(snap),
+                _committed_at(table, snap["snapshot_id"]),
+                snap.get("current_schema_version"),
+                sum(len(fl) for fl in snap["buckets"].values()),
+                sum(len(fl) for fl in (snap.get("added_files") or {}).values()),
+                stats.get("rows_in"),
+                snap["snapshot_id"] == tip_id,
+            )
+        )
+    return table.spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
+
+
+def files(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
+    """One row per live data file of a snapshot (Iceberg ``tbl.files``).
+
+    ``rows``/``bytes`` come from the parquet footer and the inode (the
+    same numbers ``table_stats`` aggregates); ``kind`` is ``base`` or
+    ``delta`` (merge-on-read debt); ``key_min``/``key_max`` surface the
+    zone map and ``has_bloom`` the per-file key bloom that the MERGE
+    decide scan and point lookups prune with — so "why didn't this file
+    prune?" is answerable with a filter, not a debugger."""
+    import pyarrow.parquet as pq
+
+    snap = (
+        table.snapshot(snapshot_id)
+        if snapshot_id is not None
+        else table.current_snapshot()
+    )
+    rows = []
+    for b, fl in snap["buckets"].items():
+        for fe in fl:
+            full = table.path / fe["path"]
+            try:
+                nrows = pq.read_metadata(str(full)).num_rows
+                nbytes = full.stat().st_size
+            except OSError:
+                nrows, nbytes = None, None
+            kr = fe.get("kr")
+            bloom = fe.get("bloom")
+            rows.append(
+                (
+                    int(b),
+                    fe["path"],
+                    fe.get("kind", "base"),
+                    fe.get("sv"),
+                    nrows,
+                    nbytes,
+                    bloom is not None,
+                    len(base64.b64decode(bloom)) if bloom else None,
+                    {k: str(v[0]) for k, v in kr.items()} if kr else None,
+                    {k: str(v[1]) for k, v in kr.items()} if kr else None,
+                )
+            )
+    return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+
+
+def history(table: LakeTable) -> DataFrame:
+    """The current tip's ancestry, tip first (Iceberg ``tbl.history``).
+
+    Walks ``parent_id`` links through the retained chain; an expired
+    ancestor ends the walk (exactly Iceberg's behavior once snapshots
+    are expired).  Distinct from ``snapshots()``: after a conflicting
+    writer loses a CAS, orphaned snapshot ids can exist that were never
+    an ancestor of the tip — history() shows lineage, snapshots() shows
+    everything retained."""
+    rows = []
+    snap = table.current_snapshot()
+    first = True
+    while snap is not None:
+        rows.append(
+            (
+                snap["snapshot_id"],
+                snap.get("parent_id"),
+                snap.get("epoch_id"),
+                _committed_at(table, snap["snapshot_id"]),
+                first,
+            )
+        )
+        first = False
+        parent = snap.get("parent_id")
+        if parent is None:
+            break
+        try:
+            snap = table.snapshot(parent)
+        except FileNotFoundError:
+            break  # expired past this point
+    return table.spark.createDataFrame(rows, _HISTORY_SCHEMA)
