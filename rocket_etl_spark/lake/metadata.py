@@ -89,14 +89,52 @@ def _operation(snap: dict) -> str:
     return "merge"
 
 
-def _committed_at(table: LakeTable, snapshot_id: int):
+def _committed_at(table: LakeTable, snap: dict):
+    """Commit time: the durable ``committed_at_ms`` the CAS stamps
+    (table.py), falling back to the snapshot file's mtime for snapshots
+    written before that field existed."""
     from datetime import datetime, timezone
 
-    p = table.snap_dir / f"snapshot-{snapshot_id:08d}.json"
+    ms = snap.get("committed_at_ms")
+    if ms is not None:
+        return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+    p = table.snap_dir / f"snapshot-{snap['snapshot_id']:08d}.json"
     try:
         return datetime.fromtimestamp(p.stat().st_mtime, tz=timezone.utc)
     except OSError:
         return None
+
+
+def as_of(table: LakeTable, ts) -> int:
+    """Resolve a timestamp to a snapshot id — Iceberg ``TIMESTAMP AS OF``.
+
+    ``ts`` is a ``datetime`` (naive = local time, like SQL literals) or
+    epoch seconds.  Returns the id of the LATEST ancestor of the current
+    tip committed at or before ``ts``; read it with
+    ``table.read(snapshot_id=as_of(table, ts))``.  Walks the retained
+    ancestry only (metadata-sized); raises ``LookupError`` when ``ts``
+    predates every retained snapshot — exactly when Iceberg's resolution
+    fails after expiry."""
+    from datetime import datetime
+
+    if isinstance(ts, datetime):
+        ts = ts.timestamp()
+    snap = table.current_snapshot()
+    while snap is not None:
+        at = _committed_at(table, snap)
+        if at is not None and at.timestamp() <= ts:
+            return snap["snapshot_id"]
+        parent = snap.get("parent_id")
+        if parent is None:
+            break
+        try:
+            snap = table.snapshot(parent)
+        except FileNotFoundError:
+            break
+    raise LookupError(
+        f"no retained snapshot committed at or before {ts} "
+        f"(history may have been expired)"
+    )
 
 
 def snapshots(table: LakeTable) -> DataFrame:
@@ -120,7 +158,7 @@ def snapshots(table: LakeTable) -> DataFrame:
                 snap.get("epoch_id"),
                 snap.get("app_id"),
                 _operation(snap),
-                _committed_at(table, snap["snapshot_id"]),
+                _committed_at(table, snap),
                 snap.get("current_schema_version"),
                 sum(len(fl) for fl in snap["buckets"].values()),
                 sum(len(fl) for fl in (snap.get("added_files") or {}).values()),
@@ -193,7 +231,7 @@ def history(table: LakeTable) -> DataFrame:
                 snap["snapshot_id"],
                 snap.get("parent_id"),
                 snap.get("epoch_id"),
-                _committed_at(table, snap["snapshot_id"]),
+                _committed_at(table, snap),
                 first,
             )
         )

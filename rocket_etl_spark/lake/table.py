@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 from collections.abc import Sequence
 from pathlib import Path
@@ -218,7 +219,13 @@ class LakeTable:
         The temp file is fully written + fsynced before the link, so a
         published snapshot is always complete; ``os.link`` is atomic and
         fails with EEXIST when another attempt already won this id.
+
+        Stamps ``committed_at_ms`` at CAS time (always overwritten — a
+        dict cloned from a parent snapshot must not inherit its parent's
+        commit time): the durable clock behind timestamp time travel
+        (``metadata.as_of``), like Iceberg's snapshot timestamp-ms.
         """
+        snap = {**snap, "committed_at_ms": int(time.time() * 1000)}
         final = self.snap_dir / f"snapshot-{snap['snapshot_id']:08d}.json"
         tmp = self.snap_dir / f".tmp-{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:

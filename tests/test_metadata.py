@@ -88,6 +88,35 @@ def test_history_walks_ancestry_and_stops_at_expiry(spark, tmp_path):
     assert sorted(snapshots(t).toPandas()["snapshot_id"]) == [2, 3]
 
 
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    import pytest
+
+    from rocket_etl_spark.lake.metadata import as_of
+
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    marks = [time.time()]  # before any data epoch
+    for ep in range(3):
+        time.sleep(0.01)  # committed_at_ms has millisecond resolution
+        replay_batch(t, change_events(spark, 500, seed=40 + ep), epoch_id=ep)
+        marks.append(time.time())
+    # each boundary resolves to the snapshot live at that instant
+    assert as_of(t, marks[0]) == 0  # the create snapshot
+    for i in (1, 2, 3):
+        assert as_of(t, marks[i]) == i
+    # and the resolved id reads the state of that moment
+    mid = t.read(snapshot_id=as_of(t, marks[2])).count()
+    assert mid == t.read(snapshot_id=2).count()
+    # datetime input works too
+    from datetime import datetime
+
+    assert as_of(t, datetime.fromtimestamp(marks[3])) == 3
+    # predating all retained history raises
+    with pytest.raises(LookupError):
+        as_of(t, marks[0] - 3600)
+
+
 def test_metadata_tables_compose_with_sql(spark, tmp_path):
     t = _table(spark, tmp_path, n_epochs=2)
     f = files(t)
