@@ -1,5 +1,6 @@
 from rocket_etl_spark.lake.lookup import lookup
 from rocket_etl_spark.lake.merge import CommitResult, merge_batch
+from rocket_etl_spark.lake.metadata import as_of, files, history, snapshots
 from rocket_etl_spark.lake.table import LakeTable
 from rocket_etl_spark.lake.wap import (
     abort_staged,
@@ -13,4 +14,5 @@ __all__ = [
     "LakeTable", "merge_batch", "CommitResult", "lookup",
     "stage_merge", "read_staged", "audit_staged", "publish_staged",
     "abort_staged",
+    "snapshots", "files", "history", "as_of",
 ]
