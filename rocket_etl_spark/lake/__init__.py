@@ -1,6 +1,15 @@
 from rocket_etl_spark.lake.lookup import lookup
 from rocket_etl_spark.lake.merge import CommitResult, merge_batch
-from rocket_etl_spark.lake.metadata import as_of, files, history, snapshots
+from rocket_etl_spark.lake.metadata import (
+    as_of,
+    create_tag,
+    drop_tag,
+    files,
+    history,
+    list_tags,
+    resolve_tag,
+    snapshots,
+)
 from rocket_etl_spark.lake.table import LakeTable
 from rocket_etl_spark.lake.wap import (
     abort_staged,
@@ -15,4 +24,5 @@ __all__ = [
     "stage_merge", "read_staged", "audit_staged", "publish_staged",
     "abort_staged",
     "snapshots", "files", "history", "as_of",
+    "create_tag", "resolve_tag", "list_tags", "drop_tag",
 ]

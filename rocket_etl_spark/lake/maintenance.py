@@ -321,7 +321,12 @@ def expire_snapshots(
     NO snapshot at all may be an in-flight commit's output (written
     pre-CAS) — deleting it would corrupt that commit if it wins — so
     true orphans are only removed once older than ``orphan_min_age_s``
-    (Iceberg's remove_orphan_files age-guard, default 3 days there)."""
+    (Iceberg's remove_orphan_files age-guard, default 3 days there).
+
+    TAGGED snapshots (``lake.metadata.create_tag`` — named refs like
+    "last-known-good") never expire regardless of age: their snapshot
+    JSON and, transitively, the files they reference survive until the
+    tag is dropped — Iceberg's ref-retention rule."""
     snaps = table._snapshot_files()
     if len(snaps) <= keep_last:
         keep, drop = snaps, []  # nothing expires; orphan GC still runs
@@ -329,7 +334,20 @@ def expire_snapshots(
         keep, drop = snaps[-keep_last:], snaps[:-keep_last]
 
     import json
+    import re as _re
     import time as _time
+
+    from rocket_etl_spark.lake.metadata import list_tags
+
+    tagged_ids = set(list_tags(table).values())
+    if tagged_ids and drop:
+        def _sid(p):
+            m = _re.search(r"snapshot-(\d+)\.json$", p.name)
+            return int(m.group(1)) if m else None
+
+        pinned = [p for p in drop if _sid(p) in tagged_ids]
+        keep = pinned + keep
+        drop = [p for p in drop if _sid(p) not in tagged_ids]
 
     def _refs(paths):
         out: set[str] = set()

@@ -24,6 +24,10 @@ from __future__ import annotations
 
 import base64
 import json
+import os
+import re
+import time
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -211,6 +215,86 @@ def files(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
                 )
             )
     return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+
+
+# ------------------------------------------------------------------- tags
+# Iceberg named refs, tag flavor: an immutable name → snapshot-id pin.
+# The CDC-ops use case is "last-known-good": tag the snapshot a validation
+# pass blessed, keep reading/reporting against it by NAME while ingestion
+# advances the tip, and expire history freely — expire_snapshots protects
+# tagged snapshots (and, transitively, the files they reference).
+
+_REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def _refs_dir(table: LakeTable):
+    return table.path / "refs"
+
+
+def create_tag(table: LakeTable, name: str, snapshot_id: int | None = None) -> dict:
+    """Pin ``name`` to ``snapshot_id`` (default: current tip).  Tags are
+    IMMUTABLE (Iceberg tag semantics): creating an existing name raises —
+    drop it first if you really mean to move it.  The pin is CAS'd the
+    same way snapshots are (fsync + hard link), so two racing creators
+    resolve to exactly one winner."""
+    if not _REF_NAME.match(name):
+        raise ValueError(f"invalid tag name {name!r}")
+    if snapshot_id is None:
+        snapshot_id = table.current_snapshot()["snapshot_id"]
+    else:
+        table.snapshot(snapshot_id)  # must exist (raises otherwise)
+    ref = {
+        "name": name,
+        "snapshot_id": int(snapshot_id),
+        "created_at_ms": int(time.time() * 1000),
+    }
+    d = _refs_dir(table)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    with open(tmp, "w") as f:
+        json.dump(ref, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, d / f"{name}.json")
+    except FileExistsError:
+        raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+    finally:
+        tmp.unlink(missing_ok=True)
+    return ref
+
+
+def resolve_tag(table: LakeTable, name: str) -> int:
+    """The snapshot id a tag pins — ``table.read(snapshot_id=
+    resolve_tag(table, name))`` is the named read."""
+    try:
+        with open(_refs_dir(table) / f"{name}.json") as f:
+            return json.load(f)["snapshot_id"]
+    except FileNotFoundError:
+        raise LookupError(f"no such tag: {name!r}")
+
+
+def list_tags(table: LakeTable) -> dict[str, int]:
+    """All tags as ``{name: snapshot_id}``."""
+    out = {}
+    for p in sorted(_refs_dir(table).glob("*.json")):
+        if p.name.startswith("."):
+            continue
+        with open(p) as f:
+            ref = json.load(f)
+        out[ref["name"]] = ref["snapshot_id"]
+    return out
+
+
+def drop_tag(table: LakeTable, name: str) -> bool:
+    """Remove a tag; the pinned snapshot becomes expirable again.  True
+    if it existed."""
+    p = _refs_dir(table) / f"{name}.json"
+    try:
+        p.unlink()
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def history(table: LakeTable) -> DataFrame:

@@ -117,6 +117,46 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
         as_of(t, marks[0] - 3600)
 
 
+def test_tags_pin_read_and_survive_expiry(spark, tmp_path):
+    import pytest
+
+    from rocket_etl_spark.lake.metadata import (
+        create_tag,
+        drop_tag,
+        list_tags,
+        resolve_tag,
+    )
+
+    t = _table(spark, tmp_path, n_epochs=2)
+    good_state = t.read().count()
+    create_tag(t, "last-known-good")  # pins the current tip (snapshot 2)
+    assert list_tags(t) == {"last-known-good": 2}
+    # ingestion advances well past the pin
+    for ep in (2, 3):
+        replay_batch(t, change_events(spark, 800, seed=60 + ep), epoch_id=ep)
+    # tags are immutable; bad names rejected; explicit ids validated
+    with pytest.raises(ValueError):
+        create_tag(t, "last-known-good")
+    with pytest.raises(ValueError):
+        create_tag(t, "../escape")
+    with pytest.raises(FileNotFoundError):
+        create_tag(t, "ghost", snapshot_id=99)
+    # aggressive expiry: the tagged snapshot and its files survive
+    expire_snapshots(t, keep_last=1, orphan_min_age_s=0.0)
+    pinned = resolve_tag(t, "last-known-good")
+    assert pinned == 2
+    assert t.read(snapshot_id=pinned).count() == good_state
+    # untagged ancestors really expired
+    assert sorted(snapshots(t).toPandas()["snapshot_id"]) == [2, 4]
+    # dropping the tag makes it expirable again
+    assert drop_tag(t, "last-known-good") is True
+    assert drop_tag(t, "last-known-good") is False
+    expire_snapshots(t, keep_last=1, orphan_min_age_s=0.0)
+    assert sorted(snapshots(t).toPandas()["snapshot_id"]) == [4]
+    with pytest.raises(LookupError):
+        resolve_tag(t, "last-known-good")
+
+
 def test_metadata_tables_compose_with_sql(spark, tmp_path):
     t = _table(spark, tmp_path, n_epochs=2)
     f = files(t)
