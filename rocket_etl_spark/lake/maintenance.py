@@ -198,6 +198,81 @@ def _compact_once(
     }
 
 
+def rollback(table: LakeTable, snapshot_id: int, max_retries: int = 5) -> dict:
+    """Restore ``snapshot_id``'s state as a NEW tip snapshot (Iceberg
+    ``rollback_to_snapshot``): pure metadata — the target's file list is
+    re-linked, no data moves, O(1) regardless of table size.  Pairs with
+    tags: ``rollback(t, resolve_tag(t, "last-known-good"))``.
+
+    Semantics, chosen for the CDC recovery story:
+
+    * **Fences revert to the target's.**  Epochs committed after the
+      target become uncommitted again, so a corrected upstream can
+      re-deliver them and the exactly-once fence re-applies them — that
+      is the point of rolling back.  (Consequently the duplicate guard
+      for those epochs is deliberately gone; do not roll back while the
+      ORIGINAL bad epochs can still arrive.)
+    * **The changelog skips rollbacks** — like compaction, the commit
+      adds no files, so ``changes()`` across it reports nothing.
+      Downstream incremental consumers must recompute from the rollback
+      target (``lake.materialized`` recompute path); a state DIFF would
+      be a full-table join, which a 100 TB rollback exists to avoid.
+    * **Ancestors only**: the target must be on the current tip's
+      ancestry (a CAS-losing orphan snapshot's fences/files were never
+      published state — resurrecting them would be corruption, the same
+      rule Iceberg enforces).
+
+    History is preserved (the rolled-back-from tip stays retained until
+    expiry — roll forward by rolling back to it)."""
+    import json as _json
+
+    for _ in range(max_retries + 1):
+        tip = table.current_snapshot()
+        if tip["snapshot_id"] == snapshot_id:
+            return {"rolled_back": False, "reason": "target is already the tip"}
+        # ancestry walk (metadata-sized)
+        cur, ancestor = tip, False
+        while True:
+            parent = cur.get("parent_id")
+            if parent is None:
+                break
+            if parent == snapshot_id:
+                ancestor = True
+                break
+            try:
+                cur = table.snapshot(parent)
+            except FileNotFoundError:
+                break
+        if not ancestor:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not a retained ancestor of the "
+                f"current tip {tip['snapshot_id']} — cannot roll back to it"
+            )
+        target = table.snapshot(snapshot_id)
+        new_snap = {
+            **_json.loads(_json.dumps(target)),  # deep copy
+            "snapshot_id": tip["snapshot_id"] + 1,
+            "parent_id": tip["snapshot_id"],
+            "epoch_id": None,
+            "app_id": None,
+            "added_files": {},
+            "stats": {
+                "rollback_of": snapshot_id,
+                "rolled_back_from": tip["snapshot_id"],
+            },
+        }
+        if table._try_write_snapshot(new_snap):
+            return {
+                "rolled_back": True,
+                "snapshot_id": new_snap["snapshot_id"],
+                "restored": snapshot_id,
+                "undone_snapshots": tip["snapshot_id"] - snapshot_id,
+            }
+    raise RuntimeError(
+        f"rollback lost the snapshot CAS {max_retries + 1} times in a row"
+    )
+
+
 def table_stats(table: LakeTable) -> dict:
     """Operational summary from metadata alone — snapshot JSON + parquet
     footers, no Spark job, no data pages read (Iceberg reads the same

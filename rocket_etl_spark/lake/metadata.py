@@ -80,6 +80,8 @@ def _operation(snap: dict) -> str:
     """Classify a snapshot the way Iceberg's ``operation`` column does,
     from the stats the writers already record."""
     stats = snap.get("stats") or {}
+    if "rollback_of" in stats:
+        return "rollback"
     if stats.get("wiped"):
         return "overwrite"
     if stats.get("compacted") or "rebucketed_from" in stats:
