@@ -230,25 +230,22 @@ def rollback(table: LakeTable, snapshot_id: int, max_retries: int = 5) -> dict:
         tip = table.current_snapshot()
         if tip["snapshot_id"] == snapshot_id:
             return {"rolled_back": False, "reason": "target is already the tip"}
-        # ancestry walk (metadata-sized)
-        cur, ancestor = tip, False
-        while True:
-            parent = cur.get("parent_id")
-            if parent is None:
-                break
-            if parent == snapshot_id:
-                ancestor = True
-                break
-            try:
-                cur = table.snapshot(parent)
-            except FileNotFoundError:
-                break
-        if not ancestor:
+        # the chain is LINEAR by construction — the snapshot CAS admits
+        # exactly one winner per id and losers never create a file — so
+        # every retained snapshot with a smaller id IS an ancestor (even
+        # across expiry holes, e.g. a tagged pin older than keep_last)
+        if snapshot_id > tip["snapshot_id"]:
             raise ValueError(
-                f"snapshot {snapshot_id} is not a retained ancestor of the "
-                f"current tip {tip['snapshot_id']} — cannot roll back to it"
+                f"snapshot {snapshot_id} is newer than the current tip "
+                f"{tip['snapshot_id']} — cannot roll back to it"
             )
-        target = table.snapshot(snapshot_id)
+        try:
+            target = table.snapshot(snapshot_id)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not retained (expired?) — "
+                f"cannot roll back to it"
+            )
         new_snap = {
             **_json.loads(_json.dumps(target)),  # deep copy
             "snapshot_id": tip["snapshot_id"] + 1,

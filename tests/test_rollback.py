@@ -72,8 +72,12 @@ def test_rollback_pairs_with_tags_and_survives_expiry(spark, tmp_path):
     good = _state(t)
     replay_batch(t, change_events(spark, 700, seed=2), epoch_id=1)
     replay_batch(t, change_events(spark, 700, seed=3), epoch_id=2)
+    # expire FIRST: the pin sits past an expiry hole in the chain —
+    # rollback must still accept it (the chain is linear; retained +
+    # older-than-tip IS an ancestor)
+    expire_snapshots(t, keep_last=1, orphan_min_age_s=0.0)
     rollback(t, resolve_tag(t, "lkg"))
     pd.testing.assert_frame_equal(_state(t), good)
-    # aggressive expiry: the new tip re-references the target's files
+    # and expiring again after the rollback keeps the re-referenced files
     expire_snapshots(t, keep_last=1, orphan_min_age_s=0.0)
     pd.testing.assert_frame_equal(_state(t), good)
