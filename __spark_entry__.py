@@ -1059,12 +1059,24 @@ def _cdc_mv_incremental(spark, sf):
 
 
 def _cdc_evolution_e2e(spark, sf):
-    """Schema evolution through the REAL engine, oracle-checked: epoch 0
-    ships the v1 schema, epoch 1 adds ``size_bytes:int``, epoch 2 renames
-    ``lang``→``language`` (declared rename) and widens ``size_bytes`` to
-    bigint.  The final state must carry the evolved schema with
-    null-backfill for rows last written under v1 — recomputed in pure SQL
-    by the oracle."""
+    """BOTH evolution axes through the REAL engine, one tagged row.
+
+    ``kind='schema'``: epoch 0 ships the v1 schema, epoch 1 adds
+    ``size_bytes:int``, epoch 2 renames ``lang``→``language`` (declared
+    rename) and widens ``size_bytes`` to bigint.  The final state must
+    carry the evolved schema with null-backfill for rows last written
+    under v1 — recomputed in pure SQL by the oracle.
+
+    ``kind='spec-mixed'`` / ``'spec-migrated'``: BUCKET-SPEC evolution
+    (lake/maintenance.py ``evolve_buckets`` — Iceberg partition-spec
+    evolution, metadata-only: no 100 TB rewrite to grow the hash width).
+    Epoch 0 lands at 8 buckets, the spec evolves to 32, epoch 1 merges
+    across the mixed current+legacy layout (matched legacy files migrate
+    as a side effect); 'spec-mixed' reads that two-layout state,
+    then ``compact(migrate_legacy=True)`` bulk-moves the remainder and
+    'spec-migrated' reads the single-layout result.  All three tags must
+    equal the same LWW replay state — layout is invisible to logic."""
+    from rocket_etl_spark.lake.maintenance import compact, evolve_buckets
     from rocket_etl_spark.streaming.replay import replay_batch
 
     ev = _synth_cdc_events(spark, sf)
@@ -1082,10 +1094,33 @@ def _cdc_evolution_e2e(spark, sf):
     table = _cdc_tmp_table(spark, sf, "evo")
     for i, e in enumerate((e1, e2, e3)):
         replay_batch(table, e, epoch_id=i)
-    return table.read().select(
+    schema_half = table.read().select(
+        F.lit("schema").alias("kind"),
         "repo", "path", "language", "content", "content_sha256",
         "last_commit", "last_event_seq", "size_bytes",
     )
+
+    def _spec_state(t, kind):
+        # reads are lazy over an immutable snapshot's file list, so the
+        # 'spec-mixed' frame stays valid after the later compaction (old
+        # files persist until expire_snapshots)
+        return t.read().select(
+            F.lit(kind).alias("kind"),
+            "repo", "path", F.col("lang").alias("language"), "content",
+            "content_sha256", "last_commit", "last_event_seq",
+            F.lit(None).cast("long").alias("size_bytes"),
+        )
+
+    st = _cdc_tmp_table(spark, sf, "spec")  # 8 buckets
+    replay_batch(st, ev.filter(F.col("event_seq") <= mx // 2), epoch_id=0)
+    evolve_buckets(st, 32)
+    replay_batch(st, ev.filter(F.col("event_seq") > mx // 2), epoch_id=1)
+    mixed = _spec_state(st, "spec-mixed")
+    compact(st, migrate_legacy=True)
+    if st.current_snapshot().get("legacy"):
+        raise AssertionError("migrate_legacy left retired-layout files behind")
+    migrated = _spec_state(st, "spec-migrated")
+    return schema_half.unionByName(mixed).unionByName(migrated)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1875,17 +1910,27 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM w2 JOIN live1 USING (repo, path) "
             "WHERE w2.op = 'delete')"
         ),
+        # one LWW CTE, three tags: the evolved-SCHEMA state plus the
+        # bucket-SPEC-evolution halves (mixed layout, then bulk-migrated)
+        # — physical layout must be invisible to the logical state
         "cdc_evolution_e2e": (
             f"WITH ev AS ({_CDC_EV_SQL}), "
             "thr AS (SELECT max(event_seq) // 3 AS t1 FROM ev), "
             "w AS (SELECT *, row_number() OVER "
-            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
-            "SELECT repo, path, lang AS language, content, "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev), "
+            "s AS (SELECT repo, path, lang AS language, content, "
             "sha256(content) AS content_sha256, cmt AS last_commit, "
             "event_seq AS last_event_seq, "
             "CASE WHEN event_seq > (SELECT t1 FROM thr) "
             "THEN length(content) END AS size_bytes "
-            "FROM w WHERE rn = 1 AND op <> 'delete'"
+            "FROM w WHERE rn = 1 AND op <> 'delete') "
+            "SELECT 'schema' AS kind, * FROM s "
+            "UNION ALL SELECT 'spec-mixed' AS kind, repo, path, language, "
+            "content, content_sha256, last_commit, last_event_seq, "
+            "NULL::BIGINT AS size_bytes FROM s "
+            "UNION ALL SELECT 'spec-migrated' AS kind, repo, path, language, "
+            "content, content_sha256, last_commit, last_event_seq, "
+            "NULL::BIGINT AS size_bytes FROM s"
         ),
         # point lookup: the probe set is every live repo-7 key (plus one
         # known miss) — the oracle recomputes exactly those rows from the

@@ -337,6 +337,30 @@ def main() -> None:
     _force(cow_table.read().filter(cond))
     timings["lookup_full_filter"] = round(time.monotonic() - t0, 3)
 
+    # ---- bucket-spec evolution vs rebucket rewrite --------------------------
+    # Growing the hash width on a populated table: `rebucket` is the
+    # O(table) full rewrite; `evolve_buckets` is the O(1) metadata commit
+    # (Iceberg partition-spec evolution) — at 100 TB only the latter
+    # exists.  Then one incremental epoch merges across the MIXED
+    # current+legacy layout, the per-epoch cost evolution actually adds
+    # (compare with cdc_replay_incremental: same batch size, one layout).
+    from rocket_etl_spark.lake.maintenance import evolve_buckets, rebucket
+
+    evo_table = LakeTable.load(spark, f"{lake_dir}/t2")
+    t0 = time.monotonic()
+    rebucket(evo_table, 4 * cpus)
+    timings["rebucket_rewrite"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    evolve_buckets(evo_table, 8 * cpus)
+    timings["evolve_spec"] = round(time.monotonic() - t0, 3)
+    ev3 = change_events(
+        spark, n_events // 4, seed=47, n_repos=500, paths_per_repo=2000,
+        delete_frac=0.05,
+    )
+    t0 = time.monotonic()
+    replay_batch(evo_table, ev3, epoch_id=2)
+    timings["cdc_post_evolve_merge"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -366,6 +390,9 @@ def main() -> None:
                     "mv_refresh_modes": [r_add.mode, r_rec.mode],
                     "mv_additive_speedup_vs_full": round(mv_full_sec / mv_add_sec, 2),
                     "mv_recompute_speedup_vs_full": round(mv_full_sec / mv_rec_sec, 2),
+                    "evolve_vs_rebucket_speedup": round(
+                        timings["rebucket_rewrite"] / max(timings["evolve_spec"], 1e-3), 1
+                    ),
                     "host_calibration": host_calibration(),
                 },
             }

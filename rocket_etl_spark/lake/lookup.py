@@ -89,12 +89,35 @@ def lookup(
     key_struct = type(full)([by_name[k] for k in keys])  # field order == key order
     keys_df = table.spark.createDataFrame(rows, key_struct)
 
-    # bucket ids via the writer's own expression — one tiny job, ≤ rows
-    probe = keys_df.withColumn(
-        "_b", bucket_of(keys, int(snap["num_buckets"]))
-    ).collect()
+    # bucket ids via the writer's own expression — one tiny job, ≤ rows;
+    # each RETIRED bucket layout (spec evolution) is probed with the
+    # keys' buckets under THAT spec, so pruning survives evolution
+    legacy = [
+        l for l in (snap.get("legacy") or []) if any(l["buckets"].values())
+    ]
+    probe_cols = [bucket_of(keys, int(snap["num_buckets"])).alias("_b")] + [
+        bucket_of(keys, int(l["num_buckets"])).alias(f"_b{l['spec_id']}")
+        for l in legacy
+    ]
+    probe = keys_df.select("*", *probe_cols).collect()
     touched = sorted({r["_b"] for r in probe})
+    leg_touched = {
+        int(l["spec_id"]): sorted(
+            b
+            for b in {r[f"_b{l['spec_id']}"] for r in probe}
+            if l["buckets"].get(str(b))
+        )
+        for l in legacy
+    }
     key_rows = [tuple(r[k] for k in keys) for r in probe]
+    entries = [
+        fe for b in touched for fe in snap["buckets"].get(str(b), [])
+    ] + [
+        fe
+        for l in legacy
+        for b in leg_touched.get(int(l["spec_id"]), [])
+        for fe in l["buckets"].get(str(b), [])
+    ]
 
     file_subset = None
     stats = {"buckets_touched": len(touched)}
@@ -105,7 +128,7 @@ def lookup(
 
     pr = (
         _prune_decide_files(
-            snap, touched, key_rows, keys, schema,
+            entries, key_rows, keys, schema,
             blooms=len(key_rows) <= BLOOM_PROBE_MAX_KEYS,
             ranges=len(key_rows) <= RANGE_PROBE_MAX_KEYS,
         )
@@ -116,10 +139,13 @@ def lookup(
         file_subset, scanned, total = pr
         stats |= {"files_scanned": scanned, "files_total": total}
     else:
-        total = sum(len(snap["buckets"].get(str(b), [])) for b in touched)
+        total = len(entries)
         stats |= {"files_scanned": total, "files_total": total}
 
-    df = table.read(buckets=touched, file_subset=file_subset, snap=snap)
+    df = table.read(
+        buckets=touched, file_subset=file_subset, snap=snap,
+        legacy_buckets=leg_touched,
+    )
     out = df.join(F.broadcast(keys_df), on=list(keys), how="left_semi")
     return (out, stats) if return_stats else out
 
@@ -175,7 +201,12 @@ def range_scan(
     subset: set[str] = set()
     total = scanned = 0
     prunable = True
-    for files in snap["buckets"].values():
+    all_file_lists = list(snap["buckets"].values()) + [
+        fl
+        for l in (snap.get("legacy") or [])
+        for fl in l["buckets"].values()
+    ]
+    for files in all_file_lists:
         for fe in files:
             total += 1
             kr = (fe.get("kr") or {}).get(col)

@@ -29,6 +29,7 @@ def compact(
     max_retries: int = 5,
     sort_cols: list[str] | None = None,
     target_file_rows: int | None = None,
+    migrate_legacy: bool = False,
 ) -> dict:
     """Rewrite fragmented buckets to one file each; drop droppable
     tombstones.
@@ -75,7 +76,8 @@ def compact(
     """
     for _ in range(max_retries + 1):
         res = _compact_once(
-            table, tombstone_watermark, min_files, buckets, sort_cols, target_file_rows
+            table, tombstone_watermark, min_files, buckets, sort_cols,
+            target_file_rows, migrate_legacy,
         )
         if res is not None:
             return res
@@ -93,25 +95,82 @@ def _compact_once(
     buckets: list[int] | None,
     sort_cols: list[str] | None = None,
     target_file_rows: int | None = None,
+    migrate_legacy: bool = False,
 ) -> dict | None:
+    from rocket_etl_spark.lake.table import legacy_layouts
+
     snap = table.current_snapshot()
-    files_before = sum(len(v) for v in snap["buckets"].values())
+    legacy = [l for l in legacy_layouts(snap) if any(l["buckets"].values())]
+    files_before = sum(len(v) for v in snap["buckets"].values()) + sum(
+        len(v) for l in legacy for v in l["buckets"].values()
+    )
     if buckets is not None:
         cand = sorted(int(b) for b in buckets)
     elif tombstone_watermark is not None:
         cand = sorted(int(b) for b, fl in snap["buckets"].items() if fl)
     else:
         cand = sorted(int(b) for b, fl in snap["buckets"].items() if len(fl) >= min_files)
-    if not cand:
+
+    # which RETIRED-layout buckets must be read (and thereby migrated to
+    # the current spec)?
+    # * migrate_legacy: all of them — the bulk "finish the migration"
+    #   pass, O(unmigrated data) because cand may be empty;
+    # * folding delta files while legacy layouts exist: a delta key's
+    #   base row may live under a retired layout, and folding the delta
+    #   into a current-spec base file WITHOUT migrating that base would
+    #   leave the key live under two specs (duplicate rows).  A slim
+    #   key-column scan of the delta files alone finds the legacy
+    #   buckets those keys hash to — migration cost stays O(delta keys'
+    #   legacy buckets), not O(legacy).
+    leg_sel: dict[int, list[int]] = {}
+    if legacy and migrate_legacy:
+        leg_sel = {
+            int(l["spec_id"]): sorted(int(b) for b, fl in l["buckets"].items() if fl)
+            for l in legacy
+        }
+    elif legacy and cand:
+        delta_rel = {
+            fe["path"]
+            for b in cand
+            for fe in snap["buckets"].get(str(b), [])
+            if fe.get("kind") == "delta"
+        }
+        if delta_rel:
+            from rocket_etl_spark.lake.table import bucket_of as _bof
+
+            keys = snap["key_cols"]
+            dkeys = (
+                table.read(
+                    buckets=cand, include_tombstones=True,
+                    file_subset=delta_rel, legacy_buckets={},
+                )
+                .select(*keys)
+                .distinct()
+            )
+            for l in legacy:
+                lb = {
+                    r["_b"]
+                    for r in dkeys.select(
+                        _bof(keys, int(l["num_buckets"])).alias("_b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                lb = sorted(b for b in lb if l["buckets"].get(str(b)))
+                if lb:
+                    leg_sel[int(l["spec_id"])] = lb
+
+    if not cand and not leg_sel:
         return {
             "snapshot_id": snap["snapshot_id"],
             "files_before": files_before,
             "files_after": files_before,
             "tombstones_dropped": 0,
             "buckets_rewritten": 0,
+            "legacy_buckets_migrated": 0,
         }
 
-    df = table.read(buckets=cand, include_tombstones=True)
+    df = table.read(buckets=cand, include_tombstones=True, legacy_buckets=leg_sel)
     order_col = snap["order_col"]
     if tombstone_watermark is not None:
         keep = ~F.coalesce(F.col("_deleted"), F.lit(False)) | (
@@ -131,7 +190,7 @@ def _compact_once(
     out_dir_rel = f"data/{commit_tag}"
     out_dir = table.path / out_dir_rel
     shaped = df.withColumn("_bucket", table.bucket_expr()).repartition(
-        max(len(cand), 1), "_bucket"
+        max(len(cand) + sum(len(v) for v in leg_sel.values()), 1), "_bucket"
     )
     if sort_cols:
         # cluster the bucket: contiguous key slices per output file, so
@@ -142,7 +201,9 @@ def _compact_once(
         writer = writer.option("maxRecordsPerFile", int(target_file_rows))
     writer.parquet(str(out_dir))
     # untouched buckets keep their existing file lists; rewritten ones get
-    # the new single file (or [] when a purge emptied the bucket)
+    # the new single file (or [] when a purge emptied the bucket).  Rows
+    # MIGRATED out of a retired layout may scatter into buckets outside
+    # ``cand`` — those append (their keys had no current-spec row).
     new_buckets: dict[str, list] = {
         b: list(fl) for b, fl in snap["buckets"].items() if int(b) not in set(cand)
     }
@@ -152,11 +213,15 @@ def _compact_once(
     written: dict[int, list[dict]] = {}
     for bdir in sorted(out_dir.glob("_bucket=*")):
         b = bdir.name.split("=")[1]
-        new_buckets[b] = written[int(b)] = [
+        written[int(b)] = [
             {"path": f"{out_dir_rel}/{bdir.name}/{p.name}", "sv": sv}
             for p in sorted(bdir.iterdir())
             if p.name.endswith(".parquet")
         ]
+        if int(b) in set(cand):
+            new_buckets[b] = written[int(b)]
+        else:
+            new_buckets[b] = new_buckets.get(b, []) + written[int(b)]
     # decide-scan metadata for the rewritten base files: zone maps are
     # footer-only (free at any size); blooms self-gate on the per-file
     # row cap so a big base slice never yields a saturated filter
@@ -179,11 +244,28 @@ def _compact_once(
         if _BLOOMS_ENABLED:
             _build_file_blooms(out_dir, written, keys)
 
+    # retired layouts: drop the buckets this pass migrated; a layout with
+    # nothing left disappears (fully-migrated tables lose the section)
+    new_legacy = []
+    for layout in legacy:
+        migrated = set(leg_sel.get(int(layout["spec_id"]), []))
+        kept = {
+            bb: fl
+            for bb, fl in layout["buckets"].items()
+            if int(bb) not in migrated and fl
+        }
+        if kept:
+            new_legacy.append({**layout, "buckets": kept})
+
     new_snap = dict(snap)
     new_snap["snapshot_id"] = snap["snapshot_id"] + 1
     new_snap["parent_id"] = snap["snapshot_id"]
     new_snap["epoch_id"] = None
     new_snap["buckets"] = new_buckets
+    if new_legacy:
+        new_snap["legacy"] = new_legacy
+    else:
+        new_snap.pop("legacy", None)
     # a compaction rewrites, it doesn't change: no changelog contribution
     new_snap["added_files"] = {}
     new_snap["stats"] = {"compacted": True, "tombstones_dropped": int(dropped)}
@@ -192,9 +274,11 @@ def _compact_once(
     return {
         "snapshot_id": new_snap["snapshot_id"],
         "files_before": files_before,
-        "files_after": sum(len(v) for v in new_buckets.values()),
+        "files_after": sum(len(v) for v in new_buckets.values())
+        + sum(len(v) for l in new_legacy for v in l["buckets"].values()),
         "tombstones_dropped": int(dropped),
         "buckets_rewritten": len(cand),
+        "legacy_buckets_migrated": sum(len(v) for v in leg_sel.values()),
     }
 
 
@@ -295,6 +379,16 @@ def table_stats(table: LakeTable) -> dict:
         max_delta_depth = max(max_delta_depth, depth)
         for fe in fl:
             rows += pq.read_metadata(str(table.path / fe["path"])).num_rows
+    legacy_files = legacy_rows = 0
+    from rocket_etl_spark.lake.table import legacy_layouts
+
+    for layout in legacy_layouts(snap):
+        for fl in layout["buckets"].values():
+            legacy_files += len(fl)
+            for fe in fl:
+                legacy_rows += pq.read_metadata(str(table.path / fe["path"])).num_rows
+    files += legacy_files
+    rows += legacy_rows
     return {
         "snapshot_id": snap["snapshot_id"],
         "num_buckets": int(snap["num_buckets"]),
@@ -308,6 +402,12 @@ def table_stats(table: LakeTable) -> dict:
         # max_delta_depth bounds the per-key read amplification
         "delta_files": delta_files,
         "max_delta_depth": max_delta_depth,
+        # bucket-spec-evolution debt: files still under retired layouts,
+        # shrinking as MERGEs migrate matched files / compact() bulk-moves
+        "spec_id": int(snap.get("spec_id", 0)),
+        "legacy_layouts": len(legacy_layouts(snap)),
+        "legacy_files": legacy_files,
+        "legacy_rows": legacy_rows,
     }
 
 
@@ -370,6 +470,10 @@ def _rebucket_once(table: LakeTable, new_num_buckets: int) -> dict | None:
     new_snap["epoch_id"] = None
     new_snap["num_buckets"] = new_num_buckets
     new_snap["buckets"] = new_buckets
+    # a full rewrite starts a fresh spec and absorbs every retired layout
+    # (the read above included them)
+    new_snap["spec_id"] = int(snap.get("spec_id", 0)) + 1
+    new_snap.pop("legacy", None)
     new_snap["added_files"] = {}  # a rewrite, not a logical change
     new_snap["stats"] = {"rebucketed_from": int(snap["num_buckets"])}
     if not table._try_write_snapshot(new_snap):
@@ -379,6 +483,82 @@ def _rebucket_once(table: LakeTable, new_num_buckets: int) -> dict | None:
         "rebucketed": True,
         "num_buckets": new_num_buckets,
     }
+
+
+def evolve_buckets(table: LakeTable, new_num_buckets: int) -> dict:
+    """Change the table's bucket count WITHOUT rewriting any data —
+    Iceberg partition-spec evolution, the move ``rebucket`` cannot make
+    at scale (a 100 TB table cannot be rewritten to grow its hash
+    width; its metadata can be rewritten in O(1)).
+
+    The commit is metadata-only: the current layout is retired into the
+    snapshot's ``legacy`` list (``lake.table.legacy_layouts``) and the
+    tip starts an empty layout under ``new_num_buckets`` with a fresh
+    ``spec_id``.  From then on:
+
+    * new writes (MERGE changed rows, appends, MOR deltas) route by the
+      NEW spec;
+    * reads union the current layout with every legacy layout; pruned
+      reads (MERGE decide, point lookup) probe each retired spec with
+      the key's bucket under THAT spec, so pruning survives evolution;
+    * a copy-on-write MERGE that matches a legacy file rewrites ALL of
+      that file's rows into current-spec buckets — gradual migration as
+      a free side effect of normal ingestion;
+    * ``compact(migrate_legacy=True)`` bulk-migrates whatever remains,
+      at a cost proportional to the UNMIGRATED data only.
+
+    Refuses while merge-on-read delta files exist (``compact()`` first):
+    a delta's key may shadow a base row, and retiring the layout would
+    put base and delta under different specs with no fold boundary —
+    the same mode-transition rule the COW MERGE enforces.
+    """
+    snap = table.current_snapshot()
+    while True:
+        if int(snap["num_buckets"]) == int(new_num_buckets):
+            return {"snapshot_id": snap["snapshot_id"], "evolved": False}
+        if any(
+            fe.get("kind") == "delta"
+            for fl in snap["buckets"].values()
+            for fe in fl
+        ):
+            raise ValueError(
+                "cannot evolve the bucket spec over merge-on-read deltas: "
+                "compact() the table first so every key has exactly one "
+                "live row under the retiring layout"
+            )
+        old_spec_id = int(snap.get("spec_id", 0))
+        legacy = [
+            layout
+            for layout in (snap.get("legacy") or [])
+            if any(layout["buckets"].values())
+        ]
+        if any(snap["buckets"].values()):
+            legacy = [
+                {
+                    "spec_id": old_spec_id,
+                    "num_buckets": int(snap["num_buckets"]),
+                    "buckets": snap["buckets"],
+                }
+            ] + legacy
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = snap["snapshot_id"] + 1
+        new_snap["parent_id"] = snap["snapshot_id"]
+        new_snap["epoch_id"] = None
+        new_snap["num_buckets"] = int(new_num_buckets)
+        new_snap["spec_id"] = old_spec_id + 1
+        new_snap["buckets"] = {}
+        new_snap["legacy"] = legacy
+        new_snap["added_files"] = {}  # a spec change, not a logical change
+        new_snap["stats"] = {"evolved_from": int(snap["num_buckets"])}
+        if table._try_write_snapshot(new_snap):
+            return {
+                "snapshot_id": new_snap["snapshot_id"],
+                "evolved": True,
+                "num_buckets": int(new_num_buckets),
+                "spec_id": new_snap["spec_id"],
+                "legacy_layouts": len(legacy),
+            }
+        snap = table.current_snapshot()  # CAS lost — retry from the tip
 
 
 def expire_snapshots(
@@ -428,6 +608,10 @@ def expire_snapshots(
                 s = json.load(f)
             for files in s["buckets"].values():
                 out.update(fe["path"] for fe in files)
+            for layout in s.get("legacy") or []:
+                # retired-bucket-layout files are just as live
+                for files in layout["buckets"].values():
+                    out.update(fe["path"] for fe in files)
         return out
 
     # live staged commits (write-audit-publish, lake/wap.py) reference

@@ -316,14 +316,16 @@ def _build_file_blooms(out_dir, out_files: dict[int, list[dict]], keys) -> None:
 
 
 def _prune_decide_files(
-    snap: dict, touched, key_rows, keys, schema,
+    entries, key_rows, keys, schema,
     blooms: bool = True, ranges: bool = True,
 ) -> tuple[set[str], int, int] | None:
-    """Decide-scan file subset: keep files that MAY contain a winner key
-    per their bloom AND per their zone map (each independently has no
-    false negatives, so either proof of absence suffices to skip).
-    Files carrying neither pruner are always kept.  Returns (subset,
-    scanned, total), or None when nothing can be skipped."""
+    """Decide-scan file subset: keep files (from the candidate ``entries``
+    — the touched buckets' file entries across EVERY bucket layout, legacy
+    included) that MAY contain a winner key per their bloom AND per their
+    zone map (each independently has no false negatives, so either proof
+    of absence suffices to skip).  Files carrying neither pruner are
+    always kept.  Returns (subset, scanned, total), or None when nothing
+    can be skipped."""
     import base64
 
     import numpy as np
@@ -352,22 +354,21 @@ def _prune_decide_files(
                 del sorted_vals[k]
     keep: set[str] = set()
     total = skipped = 0
-    for b in touched:
-        for fe in snap["buckets"].get(str(b), []):
-            total += 1
-            hit = True
-            if ranges and not _range_hit(fe, sorted_vals):
-                hit = False
-            blm = fe.get("bloom") if (hit and blooms) else None
-            if blm is not None:
-                bits = np.frombuffer(base64.b64decode(blm), dtype=np.uint8)
-                hit = bool(
-                    ((bits[byte_idx] & bit_mask) != 0).all(axis=1).any()
-                )
-            if hit:
-                keep.add(fe["path"])
-            else:
-                skipped += 1
+    for fe in entries:
+        total += 1
+        hit = True
+        if ranges and not _range_hit(fe, sorted_vals):
+            hit = False
+        blm = fe.get("bloom") if (hit and blooms) else None
+        if blm is not None:
+            bits = np.frombuffer(base64.b64decode(blm), dtype=np.uint8)
+            hit = bool(
+                ((bits[byte_idx] & bit_mask) != 0).all(axis=1).any()
+            )
+        if hit:
+            keep.add(fe["path"])
+        else:
+            skipped += 1
     if not skipped:
         return None
     return keep, total - skipped, total
@@ -861,6 +862,8 @@ def _merge_mor_commit(
             "key_cols": list(keys),
             "order_col": order_col,
             "num_buckets": nb,
+            "spec_id": int(base.get("spec_id", 0)),
+            **({"legacy": base["legacy"]} if base.get("legacy") else {}),
             "current_schema_version": schema.version,
             "schemas": schemas,
             "buckets": new_buckets,
@@ -918,6 +921,10 @@ def _merge_mor_commit(
                 f"schema evolved concurrently (v{snap['current_schema_version']} -> "
                 f"v{latest['current_schema_version']}); re-align the batch and retry"
             )
+        if int(latest["num_buckets"]) != nb:
+            # concurrent bucket-spec evolution: our delta files are laid
+            # out under the retired spec — recompute under the new one
+            return None
         base = latest  # append-only: always safe to rebase
 
 
@@ -1129,6 +1136,30 @@ def _merge_once(
     # broadcast path: old file entries NOT containing any winning key are
     # re-linked into the new snapshot instead of being read + rewritten
     retained: dict[str, list[dict]] = {}
+    matched_rel: set | None = None
+    # bucket-spec evolution: winner keys may still live under a RETIRED
+    # layout — probe each legacy spec with the keys' buckets under THAT
+    # spec (same tiny collect shape as plan_rows: ≤ spec's bucket count
+    # rows; winners_slim is cached).  Only file-bearing buckets count.
+    legacy = [
+        layout
+        for layout in (snap.get("legacy") or [])
+        if any(layout["buckets"].values())
+    ]
+    leg_touched: dict[int, list[int]] = {}
+    if touched and legacy:
+        for layout in legacy:
+            lb = {
+                r["_b"]
+                for r in winners_slim.select(
+                    bucket_of(keys, int(layout["num_buckets"])).alias("_b")
+                )
+                .distinct()
+                .collect()
+            }
+            lb = sorted(b for b in lb if layout["buckets"].get(str(b)))
+            if lb:
+                leg_touched[int(layout["spec_id"])] = lb
     if touched:
         from rocket_etl_spark.schema.registry import project_to
 
@@ -1154,6 +1185,11 @@ def _merge_once(
         decide_subset = None
         touched_entries = [
             fe for b in touched for fe in snap["buckets"].get(str(b), [])
+        ] + [
+            fe
+            for layout in legacy
+            for b in leg_touched.get(int(layout["spec_id"]), [])
+            for fe in layout["buckets"].get(str(b), [])
         ]
         probe_blooms = (
             _BLOOMS_ENABLED
@@ -1172,20 +1208,19 @@ def _merge_once(
         ):
             key_rows = winners_slim.select(*keys).collect()
             pruned = _prune_decide_files(
-                snap, touched, key_rows, keys, cur_schema,
+                touched_entries, key_rows, keys, cur_schema,
                 blooms=probe_blooms, ranges=probe_ranges,
             )
             if pruned is not None:
                 decide_subset, decide_scanned, decide_total = pruned
         if decide_subset is None:
-            decide_scanned = decide_total = sum(
-                len(snap["buckets"].get(str(b), [])) for b in touched
-            )
+            decide_scanned = decide_total = len(touched_entries)
 
         # tombstones included: a newer delete must outrank a stale upsert
         current = _project(
             table.read(
-                buckets=touched, include_tombstones=True, file_subset=decide_subset
+                buckets=touched, include_tombstones=True,
+                file_subset=decide_subset, legacy_buckets=leg_touched,
             )
         )
 
@@ -1199,7 +1234,8 @@ def _merge_once(
                 rel = _rel_paths(table.path, fnames)
                 keeps_src = _project(
                     table.read(
-                        buckets=touched, include_tombstones=True, file_subset=rel
+                        buckets=touched, include_tombstones=True,
+                        file_subset=rel, legacy_buckets=leg_touched,
                     )
                 )
                 return rel, keeps_src
@@ -1295,6 +1331,33 @@ def _merge_once(
             # freshly written files + (broadcast path) re-linked unmatched
             # files; the SMJ path rewrites whole buckets, retained is empty
             new_buckets[str(b)] = out_files.get(b, []) + retained.get(str(b), [])
+        for b, fl in out_files.items():
+            if b not in set(touched):
+                # keep-rows MIGRATED out of a rewritten legacy-layout file
+                # scatter to their current-spec buckets — appended: the
+                # one-live-row-per-key-per-spec invariant guarantees these
+                # keys have no existing row in this bucket
+                new_buckets[str(b)] = list(base["buckets"].get(str(b), [])) + fl
+        # legacy layouts: a touched legacy bucket's matched files were
+        # fully rewritten into current-spec buckets (gradual migration);
+        # unmatched files re-link in place.  The SMJ / degraded-broadcast
+        # paths rewrite every file of every touched bucket, legacy
+        # included, so those buckets empty out entirely.
+        new_legacy = []
+        for layout in (base.get("legacy") or []):
+            tb = set(leg_touched.get(int(layout["spec_id"]), []))
+            kept_map = {}
+            for bb, fl in layout["buckets"].items():
+                if int(bb) in tb:
+                    fl = (
+                        [fe for fe in fl if fe["path"] not in matched_rel]
+                        if matched_rel is not None
+                        else []
+                    )
+                if fl:
+                    kept_map[bb] = fl
+            if kept_map:
+                new_legacy.append({**layout, "buckets": kept_map})
         schemas = dict(base["schemas"])
         schemas[str(schema.version)] = schema.to_json()
         fences = table.fences(base)
@@ -1308,6 +1371,8 @@ def _merge_once(
             "key_cols": keys,
             "order_col": order_col,
             "num_buckets": nb,
+            "spec_id": int(base.get("spec_id", 0)),
+            **({"legacy": new_legacy} if new_legacy else {}),
             "current_schema_version": schema.version,
             "schemas": schemas,
             "buckets": new_buckets,
@@ -1354,8 +1419,16 @@ def _merge_once(
                 f"schema evolved concurrently (v{snap['current_schema_version']} -> "
                 f"v{latest['current_schema_version']}); re-align the batch and retry"
             )
+        if (
+            int(latest["num_buckets"]) != nb
+            or latest.get("legacy") != snap.get("legacy")
+        ):
+            # a concurrent bucket-spec evolution / legacy-file migration:
+            # our output routing and legacy bookkeeping were computed
+            # against a retired layout state — recompute from the tip
+            return None
         stale = [
-            b for b in touched
+            b for b in set(touched) | set(out_files)
             if latest["buckets"].get(str(b)) != snap["buckets"].get(str(b))
         ]
         if stale:
@@ -1440,6 +1513,8 @@ def append_batch(
             **{k: base[k] for k in (
                 "key_cols", "order_col", "num_buckets", "current_schema_version", "schemas"
             )},
+            "spec_id": int(base.get("spec_id", 0)),
+            **({"legacy": base["legacy"]} if base.get("legacy") else {}),
             "snapshot_id": base["snapshot_id"] + 1,
             "parent_id": base["snapshot_id"],
             "epoch_id": epoch_id,
@@ -1473,4 +1548,9 @@ def append_batch(
         latest = table.current_snapshot()
         if epoch_id is not None and table.is_epoch_committed(epoch_id, app_id, latest):
             return CommitResult(latest["snapshot_id"], epoch_id, skipped=True)
+        if int(latest["num_buckets"]) != nb:
+            # concurrent bucket-spec evolution: our files are laid out
+            # under the retired spec — rewrite under the new one (the
+            # first attempt's files become age-guarded orphans)
+            return append_batch(table, batch, epoch_id=epoch_id, app_id=app_id)
         base = latest

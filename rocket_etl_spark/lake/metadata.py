@@ -62,6 +62,11 @@ _FILES_SCHEMA = T.StructType(
         T.StructField("bloom_bytes", T.LongType(), True),
         T.StructField("key_min", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("key_max", T.MapType(T.StringType(), T.StringType()), True),
+        # bucket-spec evolution: which layout the file is laid out under
+        # (spec_id of the tip = current; lower = retired, awaiting
+        # migration) and that layout's bucket count
+        T.StructField("spec_id", T.IntegerType(), False),
+        T.StructField("spec_num_buckets", T.IntegerType(), False),
     ]
 )
 
@@ -86,6 +91,8 @@ def _operation(snap: dict) -> str:
         return "overwrite"
     if stats.get("compacted") or "rebucketed_from" in stats:
         return "replace"  # rewrite without logical change (compact/rebucket)
+    if "evolved_from" in stats:
+        return "evolve-spec"  # metadata-only bucket-spec change
     if stats.get("mor"):
         return "delta-append"
     if stats.get("appended"):
@@ -166,7 +173,12 @@ def snapshots(table: LakeTable) -> DataFrame:
                 _operation(snap),
                 _committed_at(table, snap),
                 snap.get("current_schema_version"),
-                sum(len(fl) for fl in snap["buckets"].values()),
+                sum(len(fl) for fl in snap["buckets"].values())
+                + sum(
+                    len(fl)
+                    for l in (snap.get("legacy") or [])
+                    for fl in l["buckets"].values()
+                ),
                 sum(len(fl) for fl in (snap.get("added_files") or {}).values()),
                 stats.get("rows_in"),
                 snap["snapshot_id"] == tip_id,
@@ -192,30 +204,39 @@ def files(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
         else table.current_snapshot()
     )
     rows = []
-    for b, fl in snap["buckets"].items():
-        for fe in fl:
-            full = table.path / fe["path"]
-            try:
-                nrows = pq.read_metadata(str(full)).num_rows
-                nbytes = full.stat().st_size
-            except OSError:
-                nrows, nbytes = None, None
-            kr = fe.get("kr")
-            bloom = fe.get("bloom")
-            rows.append(
-                (
-                    int(b),
-                    fe["path"],
-                    fe.get("kind", "base"),
-                    fe.get("sv"),
-                    nrows,
-                    nbytes,
-                    bloom is not None,
-                    len(base64.b64decode(bloom)) if bloom else None,
-                    {k: str(v[0]) for k, v in kr.items()} if kr else None,
-                    {k: str(v[1]) for k, v in kr.items()} if kr else None,
+    layouts = [
+        (int(snap.get("spec_id", 0)), int(snap["num_buckets"]), snap["buckets"])
+    ] + [
+        (int(l["spec_id"]), int(l["num_buckets"]), l["buckets"])
+        for l in (snap.get("legacy") or [])
+    ]
+    for spec_id, spec_nb, bmap in layouts:
+        for b, fl in bmap.items():
+            for fe in fl:
+                full = table.path / fe["path"]
+                try:
+                    nrows = pq.read_metadata(str(full)).num_rows
+                    nbytes = full.stat().st_size
+                except OSError:
+                    nrows, nbytes = None, None
+                kr = fe.get("kr")
+                bloom = fe.get("bloom")
+                rows.append(
+                    (
+                        int(b),
+                        fe["path"],
+                        fe.get("kind", "base"),
+                        fe.get("sv"),
+                        nrows,
+                        nbytes,
+                        bloom is not None,
+                        len(base64.b64decode(bloom)) if bloom else None,
+                        {k: str(v[0]) for k, v in kr.items()} if kr else None,
+                        {k: str(v[1]) for k, v in kr.items()} if kr else None,
+                        spec_id,
+                        spec_nb,
+                    )
                 )
-            )
     return table.spark.createDataFrame(rows, _FILES_SCHEMA)
 
 

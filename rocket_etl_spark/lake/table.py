@@ -79,6 +79,21 @@ def bucket_of(key_cols: Sequence[str], num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
 
+def legacy_layouts(snap: dict) -> list[dict]:
+    """The snapshot's retired bucket layouts, newest first.
+
+    Bucket-spec evolution (``maintenance.evolve_buckets``) is
+    metadata-only — Iceberg partition-spec evolution: the tip's
+    ``num_buckets``/``buckets`` describe the CURRENT spec (all new
+    writes route here) while each retired spec's still-unmigrated files
+    stay listed under ``snap["legacy"]`` as
+    ``{"spec_id", "num_buckets", "buckets"}``.  A key lives under
+    exactly ONE spec at a time: the MERGE's keep side rewrites matched
+    legacy files into current-spec buckets (gradual migration), and
+    ``compact(migrate_legacy=True)`` finishes the job in bulk."""
+    return snap.get("legacy") or []
+
+
 def _mor_reconcile(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
     """Collapse merge-on-read base+delta rows to one winner per key.
 
@@ -253,6 +268,7 @@ class LakeTable:
         include_tombstones: bool = False,
         file_subset: set[str] | None = None,
         snap: dict | None = None,
+        legacy_buckets: dict[int, Sequence[int]] | None = None,
     ) -> DataFrame:
         """Current table state, optionally restricted to some buckets
         (file-level pruning — only those buckets' parquet files are read).
@@ -282,6 +298,19 @@ class LakeTable:
         pins this.  Buckets with only base files skip reconciliation
         entirely — the plain union path below — so the read-side cost is
         confined to delta-bearing buckets until compaction folds them.
+
+        **Legacy bucket layouts** (bucket-spec evolution): files still
+        laid out under a retired spec (``legacy_layouts``) are included
+        too.  ``legacy_buckets=None`` reads ALL legacy files (the safe
+        default — correct for full scans); a ``{spec_id: [bucket ids]}``
+        dict prunes each retired layout to the buckets the caller's keys
+        hash to under THAT spec (the MERGE decide scan and point lookups
+        compute this; a spec_id absent from the dict contributes
+        nothing).  A legacy base row can be shadowed by a merge-on-read
+        delta that lives in a CURRENT-spec bucket, so when any selected
+        file is a delta, every selected legacy file joins the
+        reconciliation set (and a lone current-spec delta file stops
+        short-circuiting to the plain path).
         """
         if snap is None:
             # explicit ``snap`` = read an out-of-chain snapshot dict (a
@@ -294,13 +323,45 @@ class LakeTable:
         current = TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
         plain_by_sv: dict[int, list[str]] = {}
         rec_by_sv: dict[int, list[str]] = {}
+        selections: list[tuple[bool, list[dict]]] = []  # (is_legacy, files)
+        bset = set(int(b) for b in buckets) if buckets is not None else None
         for b, files in snap["buckets"].items():
-            if buckets is not None and int(b) not in set(buckets):
+            if bset is not None and int(b) not in bset:
                 continue
             sel = [fe for fe in files if file_subset is None or fe["path"] in file_subset]
-            # reconciliation needed only when a delta entry could shadow
-            # another file's row of the same key (>= 2 files, one a delta)
-            needs_rec = len(sel) > 1 and any(fe.get("kind") == "delta" for fe in sel)
+            if sel:
+                selections.append((False, sel))
+        for layout in legacy_layouts(snap):
+            allowed = (
+                None
+                if legacy_buckets is None
+                else {int(x) for x in legacy_buckets.get(layout["spec_id"], ())}
+            )
+            for b, files in layout["buckets"].items():
+                if allowed is not None and int(b) not in allowed:
+                    continue
+                sel = [
+                    fe for fe in files if file_subset is None or fe["path"] in file_subset
+                ]
+                if sel:
+                    selections.append((True, sel))
+        # a delta row's key may have its base row in a legacy-layout file
+        # (delta routes by the CURRENT spec) — any selected delta pulls
+        # every selected legacy file into the reconciliation set
+        any_delta = any(
+            fe.get("kind") == "delta" for _, sel in selections for fe in sel
+        )
+        has_legacy = any(is_legacy for is_legacy, _ in selections)
+        for is_legacy, sel in selections:
+            if is_legacy:
+                needs_rec = any_delta
+            else:
+                # reconciliation needed when a delta entry could shadow
+                # another file's row of the same key (>= 2 files, one a
+                # delta — or ONE delta file plus legacy files in play)
+                needs_rec = any(fe.get("kind") == "delta" for fe in sel) and (
+                    len(sel) > 1 or has_legacy
+                )
             target = rec_by_sv if needs_rec else plain_by_sv
             for fe in sel:
                 target.setdefault(fe["sv"], []).append(str(self.path / fe["path"]))

@@ -193,6 +193,7 @@ def _wipe_snapshot(table: LakeTable) -> bool:
     snap["parent_id"] = snap["snapshot_id"] - 1
     snap["epoch_id"] = None
     snap["buckets"] = {}
+    snap.pop("legacy", None)  # a wipe empties retired layouts too
     snap["added_files"] = {}
     snap["stats"] = {"wiped": True}
     return table._try_write_snapshot(snap)
