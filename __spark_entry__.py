@@ -988,6 +988,39 @@ def _cdc_wap_audit(spark, sf):
     return table.read().select(*_CDC_STATE_COLS)
 
 
+def _cdc_branch_publish(spark, sf):
+    """Writable branch refs (lake/branch.py): epoch 0 lands on main,
+    then a TWO-epoch backfill (epochs 1+2) replays on branch 'backfill' —
+    invisible to main — and fast-forward-publishes atomically.  Final
+    main state must equal the plain three-epoch replay: a leaky branch
+    (staged rows visible early), a lossy publish (missing epoch), or
+    broken fence carry-over each surfaces as an oracle mismatch."""
+    from rocket_etl_spark.lake.branch import branch_table, create_branch, publish_branch
+    from rocket_etl_spark.streaming.replay import replay_batch
+
+    ev = _synth_cdc_events(spark, sf)
+    mx = ev.agg(F.max("event_seq")).first()[0]
+    t1, t2 = mx // 3, (2 * mx) // 3
+    table = _cdc_tmp_table(spark, sf, "branch")
+    replay_batch(table, ev.filter(F.col("event_seq") <= t1), epoch_id=0)
+    create_branch(table, "backfill")
+    bt = branch_table(table, "backfill")
+    replay_batch(
+        bt, ev.filter((F.col("event_seq") > t1) & (F.col("event_seq") <= t2)),
+        epoch_id=1,
+    )
+    replay_batch(bt, ev.filter(F.col("event_seq") > t2), epoch_id=2)
+    publish_branch(table, "backfill")
+    # post-publish redelivery of a branch epoch must be a fenced no-op
+    res = replay_batch(
+        table, ev.filter((F.col("event_seq") > t1) & (F.col("event_seq") <= t2)),
+        epoch_id=1,
+    )
+    if not res.skipped:
+        raise AssertionError("branch epoch fence did not survive publish")
+    return table.read().select(*_CDC_STATE_COLS)
+
+
 def _cdc_wipe_refresh(spark, sf):
     """Wipe/full-refresh (the reference's always_wipe_data) through the
     jobspec load layer: replay the first half, then an overwrite load of
@@ -1231,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_csv": _scan_csv,
         "cdc_point_lookup": _cdc_point_lookup,
         "cdc_wap_audit": _cdc_wap_audit,
+        "cdc_branch_publish": _cdc_branch_publish,
     }
 
 
@@ -1942,6 +1976,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
             "cmt AS last_commit, event_seq AS last_event_seq "
             "FROM w WHERE rn = 1 AND op <> 'delete' AND repo = 'repo-7'"
+        ),
+        # branch backfill: two epochs staged on a branch + atomic publish
+        # must land exactly the plain three-epoch replay state
+        "cdc_branch_publish": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev) "
+            "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
+            "cmt AS last_commit, event_seq AS last_event_seq "
+            "FROM w WHERE rn = 1 AND op <> 'delete'"
         ),
         # write-audit-publish: abort of the poisoned stage + publish of the
         # clean stage must land exactly the plain two-epoch replay state

@@ -59,6 +59,17 @@ def main() -> None:
                          "unfenced for a repaired replay)")
     ap.add_argument("--stats", action="store_true",
                     help="print metadata-only table stats after the run")
+    ap.add_argument("--evolve-buckets", type=int, default=None,
+                    help="before the run: metadata-only bucket-spec evolution "
+                    "to this bucket count (Iceberg partition-spec evolution; "
+                    "no-op if the table is already this wide)")
+    ap.add_argument("--branch", default=None,
+                    help="replay onto this branch (created at the current tip "
+                    "if absent) instead of main — stage a multi-epoch backfill "
+                    "invisibly, then publish with --publish-branch")
+    ap.add_argument("--publish-branch", action="store_true",
+                    help="with --branch: fast-forward main to the branch head "
+                    "after the replay finishes (one atomic CAS)")
     args = ap.parse_args()
 
 
@@ -74,6 +85,23 @@ def main() -> None:
         table = create_repo_files_table(spark, args.table, num_buckets=args.buckets)
     else:
         table = LakeTable.load(spark, args.table)
+    if args.evolve_buckets is not None:
+        from rocket_etl_spark.lake.maintenance import evolve_buckets
+
+        print(evolve_buckets(table, args.evolve_buckets))
+    main_table = table
+    if args.branch:
+        from rocket_etl_spark.lake.branch import (
+            BranchError,
+            branch_table,
+            create_branch,
+        )
+
+        try:
+            create_branch(table, args.branch)
+        except BranchError:
+            pass  # resume an existing branch
+        table = branch_table(main_table, args.branch)
 
     results = replay_stream(
         spark,
@@ -99,6 +127,11 @@ def main() -> None:
         )
     if results:
         read_lineage(spark, table).orderBy("epoch_id").show(truncate=False)
+    if args.branch and args.publish_branch:
+        from rocket_etl_spark.lake.branch import publish_branch
+
+        print(publish_branch(main_table, args.branch))
+        table = main_table
     if args.stats:
         from rocket_etl_spark.lake.maintenance import table_stats
 

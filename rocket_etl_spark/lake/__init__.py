@@ -1,3 +1,11 @@
+from rocket_etl_spark.lake.branch import (
+    branch_table,
+    create_branch,
+    drop_branch,
+    list_branches,
+    publish_branch,
+    read_branch,
+)
 from rocket_etl_spark.lake.lookup import lookup
 from rocket_etl_spark.lake.merge import CommitResult, merge_batch
 from rocket_etl_spark.lake.metadata import (
@@ -25,4 +33,6 @@ __all__ = [
     "abort_staged",
     "snapshots", "files", "history", "as_of",
     "create_tag", "resolve_tag", "list_tags", "drop_tag",
+    "create_branch", "branch_table", "read_branch", "publish_branch",
+    "drop_branch", "list_branches",
 ]

@@ -614,10 +614,14 @@ def expire_snapshots(
                     out.update(fe["path"] for fe in files)
         return out
 
-    # live staged commits (write-audit-publish, lake/wap.py) reference
+    # live staged commits (write-audit-publish, lake/wap.py) and live
+    # BRANCHES (lake/branch.py — multi-commit staging) reference
     # freshly-written data files that no published snapshot knows yet —
-    # protect them until the stage is published or aborted
-    staged = list(table.snap_dir.glob("staged-*.json"))
+    # protect them until published or dropped
+    staged = (
+        list(table.snap_dir.glob("staged-*.json"))
+        + list(table.snap_dir.glob("branch-*.json"))
+    )
     referenced = _refs(keep) | _refs(staged)
     expired_refs = _refs(drop)
 

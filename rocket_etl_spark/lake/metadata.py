@@ -93,6 +93,8 @@ def _operation(snap: dict) -> str:
         return "replace"  # rewrite without logical change (compact/rebucket)
     if "evolved_from" in stats:
         return "evolve-spec"  # metadata-only bucket-spec change
+    if "published_branch" in stats:
+        return "publish-branch"  # fast-forward of a staged branch head
     if stats.get("mor"):
         return "delta-append"
     if stats.get("appended"):

@@ -145,3 +145,56 @@ def test_spark_submit_audited_replay(spark, tmp_path):
     table = LakeTable.load(spark, tmp_path / "table")
     assert table.read().count() > 0          # audit passed -> published
     assert not (tmp_path / "quarantine").exists()  # nothing rejected
+
+
+def test_spark_submit_branch_and_evolve(spark, tmp_path):
+    """--evolve-buckets + --branch/--publish-branch through the real
+    spark-submit CLI: the backfill stages on the branch, publishes at the
+    end, and the final main table carries the rows under the evolved
+    bucket spec."""
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not pathlib.Path(spark_submit).exists():
+        pytest.skip("spark-submit not on PATH")
+
+    sys.path.insert(0, str(REPO))
+    from rocket_etl_spark.generate import change_events
+    from tools.package import build
+
+    ev = change_events(spark, 1_500, seed=79, delete_frac=0.1)
+    (tmp_path / "events").mkdir()
+    t = tempfile.mkdtemp()
+    ev.coalesce(1).write.parquet(t + "/o")
+    part = next(pathlib.Path(t + "/o").glob("part-*.parquet"))
+    shutil.move(str(part), str(tmp_path / "events" / "b0.parquet"))
+
+    z = build(tmp_path / "rocket_etl_spark.zip")
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", str(z),
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            str(REPO / "jobs" / "replay_job.py"),
+            "--events", str(tmp_path / "events"),
+            "--table", str(tmp_path / "table"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--create", "--buckets", "4",
+            "--evolve-buckets", "8",
+            "--branch", "backfill", "--publish-branch",
+        ],
+        capture_output=True, text=True, timeout=420,
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+    assert "epoch=0" in out.stdout and "'published': True" in out.stdout
+
+    from rocket_etl_spark.lake.table import LakeTable
+
+    table = LakeTable.load(spark, tmp_path / "table")
+    snap = table.current_snapshot()
+    assert snap["num_buckets"] == 8            # evolution applied
+    assert "published_branch" in snap["stats"]  # tip IS the branch publish
+    assert table.read().count() > 0
+    assert not list(pathlib.Path(table.snap_dir).glob("branch*"))  # cleaned
