@@ -579,7 +579,10 @@ def _merge_broadcast(
     equivalence pytest-checked on random multi-epoch replays.  Null-safe
     equality throughout: a null key is a group, exactly as the full-outer
     join treats it.  Derived columns are computed on winner rows only,
-    after step 4.  Returns [(changed, tight_files=True), (keeps, False)].
+    after step 4.  Returns ([(changed, True), (keep_side, tight), ...],
+    matched_rel) — one keep side per ``read_matched`` source frame
+    (current-spec keeps exchange-free; legacy-layout migrations
+    bucket-exchanged, see the comment at the return).
 
     Tradeoff vs the SMJ path: keep-rows avoid the exchange at the cost of
     file granularity — each scan task writes one file per bucket it
@@ -667,7 +670,7 @@ def _merge_broadcast(
     ).withColumn("_bucket", bucket_of(keys, nb))
 
     matched_rel = None
-    keeps_src = current
+    keeps_srcs = [(current, False)]
     if read_matched is not None:
         # files holding at least one WINNING key — every other file's rows
         # are untouched by this merge and the file is re-linked, not read
@@ -678,23 +681,36 @@ def _merge_broadcast(
             .distinct()
             .collect()
         ]
-        matched_rel, keeps_src = read_matched(names)
+        matched_rel, keeps_srcs = read_matched(names)
 
     cond_k = None
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"_w_{k}"))
         cond_k = c if cond_k is None else cond_k & c
-    keeps = (
-        keeps_src.join(F.broadcast(win.select(*[f"_w_{k}" for k in keys])), cond_k, "left_anti")
-        .select(
-            *keys,
-            *[F.col(c) for c in vals],
-            F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
-            F.lit("keep").alias("_action"),
+
+    def _keep(src: DataFrame) -> DataFrame:
+        return (
+            src.join(
+                F.broadcast(win.select(*[f"_w_{k}" for k in keys])), cond_k, "left_anti"
+            )
+            .select(
+                *keys,
+                *[F.col(c) for c in vals],
+                F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
+                F.lit("keep").alias("_action"),
+            )
+            .withColumn("_bucket", bucket_of(keys, nb))
         )
-        .withColumn("_bucket", bucket_of(keys, nb))
+
+    # `tight` keep sides (legacy-layout migrations) route through a
+    # bucket-hash exchange — their bucket placement CHANGES, and writing
+    # them straight off the scan would emit one file per (task, target
+    # bucket) pair; current-spec keeps stream task→parquet exchange-free
+    # as before (placement unchanged)
+    return (
+        [(changed, True)] + [(_keep(src), tight) for src, tight in keeps_srcs],
+        matched_rel,
     )
-    return [(changed, True), (keeps, False)], matched_rel
 
 
 def _merge_mor_commit(
@@ -1232,13 +1248,32 @@ def _merge_once(
         if use_broadcast:
             def read_matched(fnames):
                 rel = _rel_paths(table.path, fnames)
-                keeps_src = _project(
-                    table.read(
-                        buckets=touched, include_tombstones=True,
-                        file_subset=rel, legacy_buckets=leg_touched,
-                    )
-                )
-                return rel, keeps_src
+                # current-spec keeps: bucket placement unchanged — stream
+                # scan→parquet with no exchange (tight=False)
+                srcs = [(
+                    _project(
+                        table.read(
+                            buckets=touched, include_tombstones=True,
+                            file_subset=rel, legacy_buckets={},
+                        )
+                    ),
+                    False,
+                )]
+                if leg_touched:
+                    # legacy-layout keeps MIGRATE: placement changes, so
+                    # route through a bucket-hash exchange (tight=True) —
+                    # one output file per target bucket instead of one
+                    # per (scan task, target bucket)
+                    srcs.append((
+                        _project(
+                            table.read(
+                                buckets=[], include_tombstones=True,
+                                file_subset=rel, legacy_buckets=leg_touched,
+                            )
+                        ),
+                        True,
+                    ))
+                return rel, srcs
 
             # fused dedupe+MERGE: no payload ever shuffles except the
             # changed rows' final bucket placement

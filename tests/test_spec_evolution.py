@@ -279,3 +279,25 @@ def test_metadata_tables_surface_specs(spark, tmp_path):
     st = table_stats(t)
     assert st["legacy_layouts"] == 1 and st["legacy_files"] > 0
     assert st["spec_id"] == 1
+
+
+def test_migrated_keeps_write_one_file_per_target_bucket(spark, tmp_path):
+    """Legacy-file migration routes keep-rows through a bucket-hash
+    exchange: one output file per TARGET bucket, not one per (scan task,
+    target bucket) pair — the difference between O(buckets) and
+    O(tasks x buckets) files per epoch on a wide migration."""
+    events = change_events(spark, 4_000, seed=67, delete_frac=0.0)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    # several commits -> many legacy files -> many scan tasks at migration
+    for i, b in enumerate(_epoch_slices(events, 4, 1_000)):
+        replay_batch(t, b, epoch_id=i)
+    evolve_buckets(t, 16)
+    assert _legacy_files(t) >= 8
+    # update EVERY key: all legacy files match and migrate in one epoch
+    upd = events.withColumn("event_seq", events.event_seq + 100_000)
+    replay_batch(t, upd, epoch_id=4)
+    snap = t.current_snapshot()
+    assert not snap.get("legacy")  # everything migrated
+    for b, fl in snap["buckets"].items():
+        # 1 changed-rows file + at most 1 migrated-keeps file per bucket
+        assert len(fl) <= 2, (b, [fe["path"] for fe in fl])
