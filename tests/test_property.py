@@ -128,3 +128,69 @@ def test_prefix_filter_exact_on_random_corpora(spark, docs, threshold):
                 if round(inter / union, 4) >= threshold:
                     want.add((a, b))
     assert got == want
+
+
+# ------------------------------------------------- round-5 property test
+@st.composite
+def maintenance_plan(draw):
+    """Per-batch (write mode, post-batch maintenance action) pairs."""
+    n = draw(st.integers(2, 4))
+    plan = []
+    for _ in range(n):
+        mode = draw(st.sampled_from(["cow", "cow", "mor"]))
+        action = draw(
+            st.sampled_from(
+                ["none", "none", "evolve", "compact", "migrate", "expire"]
+            )
+        )
+        nb = draw(st.sampled_from([2, 3, 5, 8, 16]))
+        plan.append((mode, action, nb))
+    return plan
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(batches=event_log(), plan=maintenance_plan())
+def test_chaos_maintenance_interleavings_match_oracle(
+    spark, tmp_path_factory, batches, plan
+):
+    """Arbitrary interleavings of COW/MOR merges with bucket-spec
+    evolution, compaction (plain + bulk-migrate), and aggressive snapshot
+    expiry must still converge to the pure-SQL LWW oracle — physical
+    layout and maintenance scheduling can never change the logical state."""
+    from rocket_etl_spark.lake.maintenance import (
+        compact,
+        evolve_buckets,
+        expire_snapshots,
+    )
+
+    tmp = tmp_path_factory.mktemp("chaos")
+    table = create_repo_files_table(spark, tmp / "t", num_buckets=4)
+    pdfs = []
+    for i, rows in enumerate(batches):
+        mode, action, nb = plan[i % len(plan)]
+        pdf = pd.DataFrame(rows)
+        pdfs.append(pdf)
+        df = spark.createDataFrame(pdf, EVENTS_DDL)
+        replay_batch(table, df, epoch_id=i, mode=mode)
+        if action == "evolve":
+            try:
+                evolve_buckets(table, nb)
+            except ValueError:  # un-folded MOR deltas: fold, then evolve
+                compact(table, min_files=1)
+                evolve_buckets(table, nb)
+        elif action == "compact":
+            compact(table)
+        elif action == "migrate":
+            compact(table, migrate_legacy=True)
+        elif action == "expire":
+            expire_snapshots(table, keep_last=1, orphan_min_age_s=0.0)
+    eng = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ora = replay_oracle(pdfs)
+    if len(ora) == 0:
+        assert len(eng) == 0
+        return
+    pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
