@@ -1,4 +1,5 @@
 from rocket_etl_spark.lake.branch import (
+    audit_branch,
     branch_table,
     create_branch,
     drop_branch,
@@ -34,5 +35,5 @@ __all__ = [
     "snapshots", "files", "history", "as_of",
     "create_tag", "resolve_tag", "list_tags", "drop_tag",
     "create_branch", "branch_table", "read_branch", "publish_branch",
-    "drop_branch", "list_branches",
+    "drop_branch", "list_branches", "audit_branch",
 ]

@@ -175,6 +175,34 @@ def read_branch(table: LakeTable, name: str, **kw) -> DataFrame:
     return bt.read(snap=bt.current_snapshot(), **kw)
 
 
+def audit_branch(
+    table: LakeTable, name: str, rules, max_violations: int = 0
+) -> dict:
+    """Audit the branch's CURRENT state against declarative rules
+    (``plans.validate``) — the gate to run before ``publish_branch``,
+    same contract as ``wap.audit_staged``: returns
+    ``{"ok", "violations", "by_rule"}``, ``ok`` iff violating rows <=
+    ``max_violations``.  One job over the branch head's file list."""
+    import pyspark.sql.functions as F
+
+    from rocket_etl_spark.plans.validate import VIOLATIONS_COL, annotate
+
+    ann = annotate(read_branch(table, name), rules)
+    rows = (
+        ann.select(F.explode(F.col(VIOLATIONS_COL)).alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # bounded: one row per RULE, not per violation
+    by_rule = {r["rule"]: int(r["n"]) for r in rows}
+    bad = (
+        ann.filter(F.size(F.col(VIOLATIONS_COL)) > 0).limit(max_violations + 1).count()
+        if by_rule
+        else 0
+    )
+    return {"ok": bad <= max_violations, "violations": bad, "by_rule": by_rule}
+
+
 def _combined_added(chain_snaps: list[dict]) -> dict:
     out: dict[str, list] = {}
     for s in chain_snaps:

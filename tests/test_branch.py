@@ -176,3 +176,36 @@ def test_branch_name_validation_and_missing(spark, tmp_path):
     with pytest.raises(BranchError):
         publish_branch(t, "dup")  # no commits
     drop_branch(t, "dup")
+
+
+def test_audit_branch_gates_publish(spark, tmp_path):
+    """The WAP-style audit over a branch: a poisoned backfill is caught
+    on the branch (main untouched), dropped, and a clean re-branch
+    passes + publishes."""
+    import pyspark.sql.functions as F
+
+    from rocket_etl_spark.lake.branch import audit_branch
+    from rocket_etl_spark.plans.validate import matches
+
+    events = change_events(spark, 2_000, seed=71)
+    batches = _slices(events, 2, 1_000)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(t, batches[0], epoch_id=0)
+    rules = [matches("lang", "^[a-z0-9+#-]{1,12}$", name="lang_shape")]
+
+    create_branch(t, "bf")
+    poisoned = batches[1].withColumn("lang", F.lit("??POISON??"))
+    replay_batch(branch_table(t, "bf"), poisoned, epoch_id=1)
+    verdict = audit_branch(t, "bf", rules)
+    assert not verdict["ok"] and "lang_shape" in verdict["by_rule"]
+    drop_branch(t, "bf")
+
+    create_branch(t, "bf")
+    replay_batch(branch_table(t, "bf"), batches[1], epoch_id=1)
+    assert audit_branch(t, "bf", rules)["ok"]
+    publish_branch(t, "bf")
+    pd.testing.assert_frame_equal(
+        _state(t.read()),
+        replay_oracle([b.toPandas() for b in batches]),
+        check_dtype=False,
+    )
