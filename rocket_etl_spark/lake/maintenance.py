@@ -612,6 +612,13 @@ def expire_snapshots(
                 # retired-bucket-layout files are just as live
                 for files in layout["buckets"].values():
                     out.update(fe["path"] for fe in files)
+            # changelog attribution: a published-branch snapshot's
+            # added_files may reference files a mid-branch compaction
+            # already superseded in its buckets — ``changes()`` still
+            # reads them, so they stay protected while the snapshot is
+            # retained (on ordinary snapshots added ⊆ buckets: no-op)
+            for files in (s.get("added_files") or {}).values():
+                out.update(fe["path"] for fe in files)
         return out
 
     # live staged commits (write-audit-publish, lake/wap.py) and live

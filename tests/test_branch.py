@@ -209,3 +209,27 @@ def test_audit_branch_gates_publish(spark, tmp_path):
         replay_oracle([b.toPandas() for b in batches]),
         check_dtype=False,
     )
+
+
+def test_changelog_survives_midbranch_compaction_and_expiry(spark, tmp_path):
+    """A mid-branch compaction supersedes earlier branch commits' files
+    in the head's buckets, but the publish's combined added_files still
+    references them for changelog attribution — expiry must not GC them
+    while the published snapshot is retained."""
+    from rocket_etl_spark.lake.maintenance import compact
+
+    events = change_events(spark, 3_000, seed=73, delete_frac=0.1)
+    batches = _slices(events, 3, 1_000)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(t, batches[0], epoch_id=0)
+    fork = t.current_snapshot()["snapshot_id"]
+    create_branch(t, "bf")
+    bt = branch_table(t, "bf")
+    replay_batch(bt, batches[1], epoch_id=1)
+    compact(bt, min_files=1)  # supersede epoch 1's files on the branch
+    replay_batch(bt, batches[2], epoch_id=2)
+    publish_branch(t, "bf")
+    expire_snapshots(t, keep_last=1, orphan_min_age_s=0.0)
+    ch = t.changes(fork).toPandas()  # must not hit a deleted parquet
+    assert len(ch) > 0
+    assert set(ch["change_type"]) <= {"insert", "update", "delete", "upsert"}
