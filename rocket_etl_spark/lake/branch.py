@@ -265,8 +265,30 @@ def drop_branch(table: LakeTable, name: str) -> dict:
     """Discard the branch: its chain, its ref, and the data files its
     own commits wrote (``added_files`` is exact — files re-linked from
     published snapshots are never touched, the same bookkeeping WAP's
-    abort trusts)."""
+    abort trusts).
+
+    Crash-window guard: if a ``publish_branch`` CAS succeeded but the
+    process died before unlinking the branch markers, the branch's
+    content IS a published snapshot and its files are live — a later
+    drop must only clean the markers, never the files (the same rule
+    ``wap.abort_staged`` enforces)."""
     chain = _chain_files(table, name)
+    ref_p = _ref_path(table, name)
+    if not (ref_p.exists() or chain):
+        raise BranchError(f"no branch {name!r}")
+    if chain and ref_p.exists():
+        with open(ref_p) as f:
+            fork_id = int(json.load(f)["fork_id"])
+        pub_path = table.snap_dir / f"snapshot-{fork_id + 1:08d}.json"
+        if pub_path.exists():
+            with open(pub_path) as f:
+                pub = json.load(f)
+            if (pub.get("stats") or {}).get("published_branch") == name:
+                for p in chain:
+                    p.unlink(missing_ok=True)
+                ref_p.unlink(missing_ok=True)
+                return {"dropped": False, "files_removed": 0,
+                        "reason": "branch was already published"}
     removed = 0
     for p in chain:
         with open(p) as f:
@@ -278,8 +300,5 @@ def drop_branch(table: LakeTable, name: str) -> dict:
                     fp.unlink()
                     removed += 1
         p.unlink(missing_ok=True)
-    existed = _ref_path(table, name).exists() or bool(chain)
-    _ref_path(table, name).unlink(missing_ok=True)
-    if not existed:
-        raise BranchError(f"no branch {name!r}")
+    ref_p.unlink(missing_ok=True)
     return {"dropped": True, "files_removed": removed}

@@ -233,3 +233,32 @@ def test_changelog_survives_midbranch_compaction_and_expiry(spark, tmp_path):
     ch = t.changes(fork).toPandas()  # must not hit a deleted parquet
     assert len(ch) > 0
     assert set(ch["change_type"]) <= {"insert", "update", "delete", "upsert"}
+
+
+def test_drop_after_crashed_publish_never_deletes_live_files(spark, tmp_path):
+    """Crash window: publish CAS succeeded, process died before cleaning
+    the branch markers.  A later drop_branch must clean markers ONLY —
+    the branch's files are now live main data."""
+    events = change_events(spark, 2_000, seed=83)
+    batches = _slices(events, 2, 1_000)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(t, batches[0], epoch_id=0)
+    create_branch(t, "pub")
+    replay_batch(branch_table(t, "pub"), batches[1], epoch_id=1)
+    # simulate the crash: publish, then RESTORE the markers as if the
+    # process died before unlinking them
+    import json as _json
+
+    chain = list(t.snap_dir.glob("branch-pub-*.json"))
+    saved = [(p.name, p.read_text()) for p in chain] + [
+        (f"branchref-pub.json", (t.snap_dir / "branchref-pub.json").read_text())
+    ]
+    publish_branch(t, "pub")
+    for name, text in saved:
+        (t.snap_dir / name).write_text(text)
+    want = _state(t.read())
+    res = drop_branch(t, "pub")
+    assert res["dropped"] is False and res["files_removed"] == 0
+    assert "published" in res["reason"]
+    pd.testing.assert_frame_equal(want, _state(t.read()))  # nothing lost
+    assert not list(t.snap_dir.glob("branch*pub*"))  # markers cleaned
