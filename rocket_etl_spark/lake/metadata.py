@@ -89,12 +89,15 @@ def _operation(snap: dict) -> str:
         return "rollback"
     if stats.get("wiped"):
         return "overwrite"
+    # before the rewrite flags: a publish inherits the branch HEAD's own
+    # stats, which may carry compacted/evolved markers from the last
+    # on-branch maintenance commit
+    if "published_branch" in stats:
+        return "publish-branch"  # fast-forward of a staged branch head
     if stats.get("compacted") or "rebucketed_from" in stats:
         return "replace"  # rewrite without logical change (compact/rebucket)
     if "evolved_from" in stats:
         return "evolve-spec"  # metadata-only bucket-spec change
-    if "published_branch" in stats:
-        return "publish-branch"  # fast-forward of a staged branch head
     if stats.get("mor"):
         return "delta-append"
     if stats.get("appended"):
