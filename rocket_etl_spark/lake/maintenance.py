@@ -30,6 +30,7 @@ def compact(
     sort_cols: list[str] | None = None,
     target_file_rows: int | None = None,
     migrate_legacy: bool = False,
+    zorder: bool = False,
 ) -> dict:
     """Rewrite fragmented buckets to one file each; drop droppable
     tombstones.
@@ -77,7 +78,7 @@ def compact(
     for _ in range(max_retries + 1):
         res = _compact_once(
             table, tombstone_watermark, min_files, buckets, sort_cols,
-            target_file_rows, migrate_legacy,
+            target_file_rows, migrate_legacy, zorder,
         )
         if res is not None:
             return res
@@ -88,6 +89,62 @@ def compact(
     )
 
 
+_Z_BITS = 8  # rank resolution per z-column: 256 quantile bins
+_Z_SAMPLE_FRACTION = 0.02
+_Z_SAMPLE_CAP = 50_000
+
+
+def _zvalue_expr(df, cols):
+    """Bit-interleaved Z-value over per-column approximate ranks.
+
+    Ranks come from sample-derived quantile boundaries (the same
+    sample-based range partitioning Delta's OPTIMIZE ZORDER and Spark's
+    own RangePartitioner use): per column, up to 2^_Z_BITS - 1 sorted
+    boundary literals; a row's rank = count of boundaries <= value — a
+    codegen'd O(bins) comparison fold, order-preserving for ANY
+    comparable dtype (strings included, which rules out width_bucket).
+    The bits of the k ranks interleave MSB-first into one integer whose
+    sort order traverses the space-filling Z-curve.  Sampling skew only
+    degrades clustering BALANCE, never correctness — the residual
+    predicate always re-applies.  Returns None when the sample is too
+    degenerate to build boundaries (empty/constant table)."""
+    k = len(cols)
+    sample = (
+        df.select(*cols)
+        .sample(False, _Z_SAMPLE_FRACTION, seed=7)
+        .limit(_Z_SAMPLE_CAP)
+        .collect()
+    )
+    if len(sample) < 4:
+        sample = df.select(*cols).limit(_Z_SAMPLE_CAP).collect()
+    ranks = []
+    n_bins = 1 << _Z_BITS
+    for i, c in enumerate(cols):
+        vals = sorted(r[i] for r in sample if r[i] is not None)
+        if not vals:
+            return None
+        bounds = []
+        for j in range(1, n_bins):
+            b = vals[min(len(vals) - 1, (j * len(vals)) // n_bins)]
+            if not bounds or b != bounds[-1]:
+                bounds.append(b)
+        if not bounds:
+            return None
+        rank = sum(
+            (F.when(F.col(c) >= F.lit(b), 1).otherwise(0) for b in bounds),
+            F.lit(0),
+        )
+        # stretch deduplicated boundaries back over the full bit range so
+        # every column contributes across all _Z_BITS interleave slots
+        ranks.append(((rank * (n_bins - 1)) / F.lit(len(bounds))).cast("int"))
+    z = F.lit(0)
+    for bit in range(_Z_BITS - 1, -1, -1):
+        for i, r in enumerate(ranks):
+            pos = bit * k + (k - 1 - i)
+            z = z + F.shiftleft(F.shiftright(r, bit).bitwiseAND(F.lit(1)), pos)
+    return z
+
+
 def _compact_once(
     table: LakeTable,
     tombstone_watermark: int | None,
@@ -96,6 +153,7 @@ def _compact_once(
     sort_cols: list[str] | None = None,
     target_file_rows: int | None = None,
     migrate_legacy: bool = False,
+    zorder: bool = False,
 ) -> dict | None:
     from rocket_etl_spark.lake.table import legacy_layouts
 
@@ -192,7 +250,25 @@ def _compact_once(
     shaped = df.withColumn("_bucket", table.bucket_expr()).repartition(
         max(len(cand) + sum(len(v) for v in leg_sel.values()), 1), "_bucket"
     )
-    if sort_cols:
+    if sort_cols and zorder and len(sort_cols) >= 2:
+        # Z-ORDER cluster (Delta OPTIMIZE ZORDER / Iceberg sort-order
+        # with interleave): lexicographic sort gives tight zone maps
+        # only on the LEADING column — each slice spans nearly the full
+        # domain of every later column, so range pruning on them is
+        # dead.  Interleaving the bits of per-column ranks makes every
+        # file cover a balanced hyper-rectangle: min/max stays tight on
+        # ALL the z-columns at once, at the cost of slightly looser
+        # leading-column ranges.
+        zcol = _zvalue_expr(df, sort_cols)
+        if zcol is not None:
+            shaped = (
+                shaped.withColumn("_z", zcol)
+                .sortWithinPartitions("_bucket", "_z")
+                .drop("_z")
+            )
+        else:  # degenerate sample (empty/constant table) — linear sort
+            shaped = shaped.sortWithinPartitions("_bucket", *sort_cols)
+    elif sort_cols:
         # cluster the bucket: contiguous key slices per output file, so
         # the attached zone maps carry tight disjoint ranges
         shaped = shaped.sortWithinPartitions("_bucket", *sort_cols)

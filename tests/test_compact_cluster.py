@@ -88,3 +88,34 @@ def test_unsorted_compaction_unchanged_shape(spark, tmp_path):
         assert len(fl) <= 1
         for fe in fl:
             assert "kr" in fe
+
+
+def test_zorder_clustering_prunes_on_every_z_column(spark, tmp_path):
+    """Z-order vs lexicographic clustering: after a linear sort by
+    (repo, path), each slice spans nearly the whole PATH domain, so a
+    path range prunes almost nothing; the Z-curve layout keeps per-file
+    min/max balanced-tight on BOTH columns, so the same path range skips
+    files.  State is preserved either way (residual predicate exact)."""
+    from rocket_etl_spark.lake.lookup import range_scan
+
+    events = change_events(spark, 8_000, seed=9, delete_frac=0.0)
+    lin = create_repo_files_table(spark, tmp_path / "lin", num_buckets=2)
+    zo = create_repo_files_table(spark, tmp_path / "zo", num_buckets=2)
+    replay_batch(lin, events, epoch_id=0)
+    replay_batch(zo, events, epoch_id=0)
+    compact(lin, min_files=1, sort_cols=["repo", "path"], target_file_rows=150)
+    compact(zo, min_files=1, sort_cols=["repo", "path"], target_file_rows=150,
+            zorder=True)
+
+    # identical logical state under both layouts
+    pd.testing.assert_frame_equal(_state(lin), _state(zo), check_dtype=False)
+
+    paths = sorted(r[0] for r in lin.read().select("path").distinct().collect())
+    lo, hi = paths[0], paths[max(1, len(paths) // 20)]  # ~5% path range
+    df_l, st_l = range_scan(lin, "path", lo, hi, return_stats=True)
+    df_z, st_z = range_scan(zo, "path", lo, hi, return_stats=True)
+    assert sorted(map(tuple, df_l.collect())) == sorted(map(tuple, df_z.collect()))
+    # the z-layout must skip files on the SECOND column where the
+    # lexicographic layout cannot
+    assert st_z["files_scanned"] < st_z["files_total"]
+    assert st_z["files_scanned"] < st_l["files_scanned"], (st_l, st_z)
