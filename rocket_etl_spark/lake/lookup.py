@@ -173,27 +173,31 @@ def range_scan(
     false negatives); the residual predicate re-applies exactly, so
     pruning can never change the answer.
 
-    ``col`` must be a key column (only key columns carry zone maps).
-    The residual filter also pushes into the parquet scan as a normal
-    min/max row-group filter — file pruning here saves the OPEN of
-    excluded files, which dominates on a high-file-count trickle layout.
+    ``col`` may be ANY zone-map-supported column (string / int family /
+    date / boolean / binary) — since late r5 every commit records
+    footer min/max for all such columns, Iceberg column-bounds style,
+    with long string bounds truncated safely — so a lang or commit
+    predicate prunes files too, not just the merge keys.  The residual
+    filter also pushes into the parquet scan as a normal min/max
+    row-group filter — file pruning here saves the OPEN of excluded
+    files, which dominates on a high-file-count trickle layout.
     """
     snap = (
         table.snapshot(snapshot_id) if snapshot_id is not None
         else table.current_snapshot()
     )
-    keys = snap["key_cols"]
-    if col not in keys:
-        raise ValueError(
-            f"range_scan needs a key column (zone-mapped); {col!r} not in {keys}"
-        )
     if lo is None and hi is None:
         raise ValueError("range_scan needs at least one bound")
     schema = TableSchema.from_json(
         snap["schemas"][str(snap["current_schema_version"])]
     )
-    from rocket_etl_spark.lake.merge import _range_canon
+    from rocket_etl_spark.lake.merge import _range_canon, _range_safe_cols
 
+    if col not in _range_safe_cols(schema):
+        raise ValueError(
+            f"range_scan needs a zone-map-supported column; {col!r} not in "
+            f"{_range_safe_cols(schema)}"
+        )
     dt = schema.field_by_name(col).dtype.lower().split("(")[0].strip()
     clo = _range_canon(lo, dt) if lo is not None else None
     chi = _range_canon(hi, dt) if hi is not None else None

@@ -314,11 +314,12 @@ def _compact_once(
     # the schema of the snapshot we compacted, not the (possibly moved) tip
     schema = TableSchema.from_json(snap["schemas"][str(snap["current_schema_version"])])
     keys = snap["key_cols"]
-    if written and _bloom_safe_keys(schema, keys):
-        if _RANGES_ENABLED:
-            _build_file_ranges(out_dir, written, keys, schema)
-        if _BLOOMS_ENABLED:
-            _build_file_blooms(out_dir, written, keys)
+    if written and _RANGES_ENABLED:
+        from rocket_etl_spark.lake.merge import _range_safe_cols
+
+        _build_file_ranges(out_dir, written, _range_safe_cols(schema), schema)
+    if written and _BLOOMS_ENABLED and _bloom_safe_keys(schema, keys):
+        _build_file_blooms(out_dir, written, keys)
 
     # retired layouts: drop the buckets this pass migrated; a layout with
     # nothing left disappears (fully-migrated tables lose the section)

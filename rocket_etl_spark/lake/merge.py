@@ -183,11 +183,52 @@ def _range_canon(v, dt: str):
     return str(v)
 
 
+_RANGE_TRUNC = 32  # Iceberg-style string-bound truncation length
+
+
+def _range_safe_cols(schema) -> list[str]:
+    """Every scalar column whose dtype the zone-map canon supports.
+
+    Zone maps are footer-only, so bounds are recorded for ALL such
+    columns, not just the merge keys — Iceberg records column bounds
+    for every column for the same reason: ``range_scan`` can then prune
+    files on any of them (e.g. a lang or commit predicate), while the
+    MERGE decide probe keeps consulting only the key columns."""
+    return [
+        f.name
+        for f in schema.fields
+        if f.dtype.lower().split("(")[0].strip() in _BLOOM_SAFE_DTYPES
+    ]
+
+
+def _trunc_bounds(lo, hi):
+    """Iceberg-style bound truncation for long string values: the lower
+    bound truncates to a prefix (a prefix is <= the value — safe), the
+    upper bound truncates and INCREMENTS its last code point (yielding a
+    string > every value sharing the prefix — safe).  Returns (lo, hi)
+    or (lo, None) when no valid upper truncation exists; a None bound
+    means 'cannot prune upward on this column for this file'."""
+    if isinstance(lo, str) and len(lo) > _RANGE_TRUNC:
+        lo = lo[:_RANGE_TRUNC]
+    if isinstance(hi, str) and len(hi) > _RANGE_TRUNC:
+        p = hi[:_RANGE_TRUNC]
+        hi = None
+        for i in range(len(p) - 1, -1, -1):
+            if ord(p[i]) < 0x10FFFF:
+                hi = p[:i] + chr(ord(p[i]) + 1)
+                break
+    return lo, hi
+
+
 def _build_file_ranges(out_dir, out_files: dict[int, list[dict]], keys, schema) -> None:
-    """Attach a ``kr`` zone map ({key: [min, max]}) to every just-written
+    """Attach a ``kr`` zone map ({col: [min, max]}) to every just-written
     file entry, from parquet footer metadata only — no row cap needed.
-    Columns with null keys or absent statistics get no entry (the probe
-    treats a missing bound as 'may contain anything')."""
+    ``keys`` here is the COLUMN LIST to map (call sites pass
+    ``_range_safe_cols(schema)`` — every supported column, keys
+    included).  Columns with nulls or absent statistics get no entry
+    (the probe treats a missing bound as 'may contain anything'); long
+    string bounds are truncated Iceberg-style (``_trunc_bounds``) so a
+    KB-sized content column never bloats the snapshot JSON."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
@@ -229,7 +270,13 @@ def _build_file_ranges(out_dir, out_files: dict[int, list[dict]], keys, schema) 
                     hi[name] = mx
                 seen.add(name)
             ok &= seen
-        kr = {k: [lo[k], hi[k]] for k in ok if k in lo}
+        kr = {}
+        for k in ok:
+            if k not in lo:
+                continue
+            tlo, thi = _trunc_bounds(lo[k], hi[k])
+            if thi is not None:
+                kr[k] = [tlo, thi]
         if kr:
             fe["kr"] = kr
 
@@ -1328,9 +1375,10 @@ def _merge_once(
             # small commit: attach key blooms so LATER small epochs can
             # skip scanning these files in their decide phase
             _build_file_blooms(out_dir, out_files, keys)
-        if _RANGES_ENABLED and out_files and _bloom_safe_keys(schema, keys):
-            # every commit, every file size: zone maps are footer-only
-            _build_file_ranges(out_dir, out_files, keys, schema)
+        if _RANGES_ENABLED and out_files:
+            # every commit, every file size, EVERY supported column (not
+            # just keys — Iceberg column bounds): zone maps are footer-only
+            _build_file_ranges(out_dir, out_files, _range_safe_cols(schema), schema)
         _mark("write")
 
         if out_files:

@@ -126,7 +126,12 @@ def test_range_scan_equals_filter_and_prunes_after_clustering(spark, tmp_path):
     assert _rows(range_scan(t, "repo", lo=None, hi="org1")) == _rows(
         t.read().filter(F.col("repo") <= "org1")
     )
-    with pytest.raises(ValueError, match="key column"):
-        range_scan(t, "content", "a", "b")
+    # since late r5 non-key supported columns scan too (column bounds);
+    # only an unknown/unsupported column is rejected
+    assert _rows(range_scan(t, "content", "a", "zzzz")) == _rows(
+        t.read().filter((F.col("content") >= "a") & (F.col("content") <= "zzzz"))
+    )
+    with pytest.raises(Exception, match="zone-map-supported|not found|no field"):
+        range_scan(t, "no_such_col", "a", "b")
     with pytest.raises(ValueError, match="bound"):
         range_scan(t, "repo")

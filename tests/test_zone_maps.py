@@ -14,6 +14,8 @@ would be a silent false negative.
 from __future__ import annotations
 
 import pandas as pd
+import pyspark.sql.functions as F
+import pytest
 
 import rocket_etl_spark.lake.merge as M
 from rocket_etl_spark.generate import change_events
@@ -97,7 +99,9 @@ def test_unsafe_key_dtype_disables_pruning_metadata(spark, tmp_path):
     snap = t.current_snapshot()
     entries = [fe for fl in snap["buckets"].values() for fe in fl]
     assert not any("bloom" in fe for fe in entries)
-    assert not any("kr" in fe for fe in entries)
+    # since late r5 SAFE non-key columns still get zone maps (val here) —
+    # but never the unstable key column, and the decide probe stays off
+    assert not any("k_ts" in (fe.get("kr") or {}) for fe in entries)
     assert res.decide_files_scanned == res.decide_files_total  # no pruning
     got = t.read().toPandas().sort_values("seq")
     # the 5 overwritten keys carry the 'b' values; 25 keep their 'a' values
@@ -135,3 +139,44 @@ def test_range_hit_semantics():
     assert M._range_hit(fe, {"b": ["n"]})
     # file without a zone map is always scanned
     assert M._range_hit({}, {"a": [999]})
+
+
+def test_zone_maps_cover_non_key_columns_with_truncated_bounds(spark, tmp_path):
+    """Since late r5 every supported column gets footer min/max (Iceberg
+    column bounds), with long string bounds truncated safely — so
+    range_scan prunes on NON-KEY columns too, and a KB-sized content
+    column never bloats the snapshot JSON."""
+    from rocket_etl_spark.generate import change_events
+    from rocket_etl_spark.lake.lookup import range_scan
+    from rocket_etl_spark.lake.maintenance import compact
+    from rocket_etl_spark.lake.merge import _RANGE_TRUNC
+    from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_batch
+
+    events = change_events(spark, 6_000, seed=21, delete_frac=0.0)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=2)
+    replay_batch(t, events, epoch_id=0)
+    snap = t.current_snapshot()
+    for fl in snap["buckets"].values():
+        for fe in fl:
+            kr = fe.get("kr") or {}
+            assert "lang" in kr and "last_event_seq" in kr  # non-key bounds
+            for c, (mn, mx) in kr.items():
+                if isinstance(mn, str):
+                    # truncation cap (+1 for the incremented last char)
+                    assert len(mn) <= _RANGE_TRUNC and len(mx) <= _RANGE_TRUNC + 1
+
+    # cluster by the NON-KEY column -> disjoint lang slices -> pruning
+    compact(t, min_files=1, sort_cols=["lang"], target_file_rows=400)
+    df, st = range_scan(t, "lang", "go", "go", return_stats=True)
+    assert st["files_scanned"] < st["files_total"], st
+    expect = t.read().filter("lang = 'go'").count()
+    assert df.count() == expect
+
+    # truncated CONTENT bounds stay correct for range predicates
+    some = t.read().select("content").first()[0]
+    df2 = range_scan(t, "content", some, some)
+    assert df2.count() == t.read().filter(F.col("content") == some).count()
+
+    # a non-supported dtype is rejected with the helpful error
+    with pytest.raises(ValueError, match="zone-map-supported"):
+        range_scan(t, "nope", 1, 2)
