@@ -157,6 +157,7 @@ def range_scan(
     hi=None,
     snapshot_id: int | None = None,
     return_stats: bool = False,
+    also: dict | None = None,
 ) -> DataFrame | tuple[DataFrame, dict]:
     """Rows with ``lo <= col <= hi`` (either bound optional), reading only
     the files whose zone map can overlap the range.
@@ -181,6 +182,13 @@ def range_scan(
     filter also pushes into the parquet scan as a normal min/max
     row-group filter — file pruning here saves the OPEN of excluded
     files, which dominates on a high-file-count trickle layout.
+
+    ``also={col2: (lo2, hi2), ...}`` ANDs further range predicates: a
+    file is skipped when ANY predicate's zone map proves disjointness,
+    and every predicate re-applies as a residual filter.  With a
+    Z-ORDER layout (``compact(..., zorder=True)``) this is the payoff
+    query shape — each z-column's bounds are balanced-tight, so a
+    conjunctive box query multiplies the per-column skip rates.
     """
     snap = (
         table.snapshot(snapshot_id) if snapshot_id is not None
@@ -193,14 +201,19 @@ def range_scan(
     )
     from rocket_etl_spark.lake.merge import _range_canon, _range_safe_cols
 
-    if col not in _range_safe_cols(schema):
-        raise ValueError(
-            f"range_scan needs a zone-map-supported column; {col!r} not in "
-            f"{_range_safe_cols(schema)}"
+    preds = {col: (lo, hi), **(also or {})}
+    canon: dict[str, tuple] = {}
+    for c, (plo, phi) in preds.items():
+        if c not in _range_safe_cols(schema):
+            raise ValueError(
+                f"range_scan needs a zone-map-supported column; {c!r} not in "
+                f"{_range_safe_cols(schema)}"
+            )
+        dt = schema.field_by_name(c).dtype.lower().split("(")[0].strip()
+        canon[c] = (
+            _range_canon(plo, dt) if plo is not None else None,
+            _range_canon(phi, dt) if phi is not None else None,
         )
-    dt = schema.field_by_name(col).dtype.lower().split("(")[0].strip()
-    clo = _range_canon(lo, dt) if lo is not None else None
-    chi = _range_canon(hi, dt) if hi is not None else None
 
     subset: set[str] = set()
     total = scanned = 0
@@ -213,12 +226,17 @@ def range_scan(
     for files in all_file_lists:
         for fe in files:
             total += 1
-            kr = (fe.get("kr") or {}).get(col)
-            # keep unless the zone map PROVES disjointness with [lo, hi]
-            if kr is not None and (
-                (chi is not None and kr[0] > chi)
-                or (clo is not None and kr[1] < clo)
-            ):
+            skip = False
+            for c, (clo, chi) in canon.items():
+                kr = (fe.get("kr") or {}).get(c)
+                # skip iff ANY zone map PROVES disjointness with its range
+                if kr is not None and (
+                    (chi is not None and kr[0] > chi)
+                    or (clo is not None and kr[1] < clo)
+                ):
+                    skip = True
+                    break
+            if skip:
                 continue
             subset.add(fe["path"])
             scanned += 1
@@ -229,10 +247,11 @@ def range_scan(
         subset_arg = subset
     df = table.read(file_subset=subset_arg, snap=snap)
     pred = F.lit(True)
-    if lo is not None:
-        pred = pred & (F.col(col) >= F.lit(lo))
-    if hi is not None:
-        pred = pred & (F.col(col) <= F.lit(hi))
+    for c, (plo, phi) in preds.items():
+        if plo is not None:
+            pred = pred & (F.col(c) >= F.lit(plo))
+        if phi is not None:
+            pred = pred & (F.col(c) <= F.lit(phi))
     out = df.filter(pred)
     if not return_stats:
         return out

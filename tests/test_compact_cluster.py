@@ -5,6 +5,7 @@ scans (lake/maintenance.py sort_cols/target_file_rows)."""
 from __future__ import annotations
 
 import pandas as pd
+import pyspark.sql.functions as F
 
 from rocket_etl_spark.generate import change_events
 from rocket_etl_spark.lake.maintenance import compact
@@ -119,3 +120,36 @@ def test_zorder_clustering_prunes_on_every_z_column(spark, tmp_path):
     # lexicographic layout cannot
     assert st_z["files_scanned"] < st_z["files_total"]
     assert st_z["files_scanned"] < st_l["files_scanned"], (st_l, st_z)
+
+
+def test_zorder_box_query_multiplies_skip_rates(spark, tmp_path):
+    """Conjunctive range predicates (`also=`) on a Z-ordered layout:
+    each z-column's balanced bounds prune independently, so the box
+    query scans fewer files than either single-column range."""
+    from rocket_etl_spark.lake.lookup import range_scan
+
+    events = change_events(spark, 8_000, seed=15, delete_frac=0.0)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=2)
+    replay_batch(t, events, epoch_id=0)
+    compact(t, min_files=1, sort_cols=["repo", "path"], target_file_rows=150,
+            zorder=True)
+
+    repos = sorted(r[0] for r in t.read().select("repo").distinct().collect())
+    paths = sorted(r[0] for r in t.read().select("path").distinct().collect())
+    r_rng = (repos[0], repos[max(1, len(repos) // 4)])
+    p_rng = (paths[0], paths[max(1, len(paths) // 4)])
+
+    _, st_r = range_scan(t, "repo", *r_rng, return_stats=True)
+    _, st_p = range_scan(t, "path", *p_rng, return_stats=True)
+    box, st_box = range_scan(
+        t, "repo", *r_rng, also={"path": p_rng}, return_stats=True
+    )
+    assert st_box["files_scanned"] <= min(
+        st_r["files_scanned"], st_p["files_scanned"]
+    ), (st_r, st_p, st_box)
+    assert st_box["files_scanned"] < st_box["files_total"]
+    expect = t.read().filter(
+        (F.col("repo") >= r_rng[0]) & (F.col("repo") <= r_rng[1])
+        & (F.col("path") >= p_rng[0]) & (F.col("path") <= p_rng[1])
+    )
+    assert sorted(map(tuple, box.collect())) == sorted(map(tuple, expect.collect()))
