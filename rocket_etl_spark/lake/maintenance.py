@@ -639,7 +639,8 @@ def evolve_buckets(table: LakeTable, new_num_buckets: int) -> dict:
 
 
 def expire_snapshots(
-    table: LakeTable, keep_last: int = 2, orphan_min_age_s: float = 3600.0
+    table: LakeTable, keep_last: int = 2, orphan_min_age_s: float = 3600.0,
+    dry_run: bool = False,
 ) -> dict:
     """Delete snapshots older than the newest ``keep_last`` and any data
     files no surviving snapshot references.  Time-travel to expired
@@ -655,7 +656,12 @@ def expire_snapshots(
     TAGGED snapshots (``lake.metadata.create_tag`` — named refs like
     "last-known-good") never expire regardless of age: their snapshot
     JSON and, transitively, the files they reference survive until the
-    tag is dropped — Iceberg's ref-retention rule."""
+    tag is dropped — Iceberg's ref-retention rule.
+
+    ``dry_run=True`` deletes nothing and reports what WOULD go
+    (snapshots_removed / files_removed / a bounded ``sample`` of doomed
+    paths) — the operational pre-flight before pointing an aggressive
+    retention policy at a production table."""
     snaps = table._snapshot_files()
     if len(snaps) <= keep_last:
         keep, drop = snaps, []  # nothing expires; orphan GC still runs
@@ -711,13 +717,26 @@ def expire_snapshots(
 
     now = _time.time()
     files_removed = 0
+    doomed: list[str] = []
     for data_file in (table.path / "data").rglob("*.parquet"):
         rel = str(data_file.relative_to(table.path))
         if rel in referenced:
             continue
         if rel in expired_refs or now - data_file.stat().st_mtime >= orphan_min_age_s:
+            if dry_run:
+                if len(doomed) < 20:
+                    doomed.append(rel)
+                files_removed += 1
+                continue
             data_file.unlink()
             files_removed += 1
+    if dry_run:
+        return {
+            "snapshots_removed": len(drop),
+            "files_removed": files_removed,
+            "dry_run": True,
+            "sample": doomed,
+        }
     # prune now-empty commit dirs
     for d in sorted((table.path / "data").glob("*"), reverse=True):
         if d.is_dir() and not any(d.rglob("*.parquet")):

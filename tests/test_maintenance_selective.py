@@ -55,3 +55,30 @@ def test_table_stats_metadata_only(spark, tmp_path):
     assert st["total_files"] == sum(
         len(fl) for fl in table.current_snapshot()["buckets"].values()
     )
+
+
+def test_expire_dry_run_reports_without_deleting(spark, tmp_path):
+    from rocket_etl_spark.generate import change_events
+    from rocket_etl_spark.lake.maintenance import expire_snapshots
+    from rocket_etl_spark.streaming.replay import create_repo_files_table, replay_batch
+
+    events = change_events(spark, 2_000, seed=91)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    for i in range(2):
+        replay_batch(
+            t,
+            events.filter(
+                (events.event_seq >= i * 1_000) & (events.event_seq < (i + 1) * 1_000)
+            ),
+            epoch_id=i,
+        )
+    n_files = sum(1 for _ in (t.path / "data").rglob("*.parquet"))
+    n_snaps = len(t._snapshot_files())
+    rep = expire_snapshots(t, keep_last=1, orphan_min_age_s=0.0, dry_run=True)
+    assert rep["dry_run"] and rep["files_removed"] > 0 and rep["sample"]
+    # nothing actually deleted
+    assert sum(1 for _ in (t.path / "data").rglob("*.parquet")) == n_files
+    assert len(t._snapshot_files()) == n_snaps
+    real = expire_snapshots(t, keep_last=1, orphan_min_age_s=0.0)
+    assert real["files_removed"] == rep["files_removed"]
+    assert real["snapshots_removed"] == rep["snapshots_removed"]
