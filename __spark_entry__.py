@@ -1021,6 +1021,22 @@ def _cdc_branch_publish(spark, sf):
     return table.read().select(*_CDC_STATE_COLS)
 
 
+def _cdc_staging_e2e(spark, sf):
+    """BOTH staging surfaces through the real engine, one tagged row
+    (r5-late, driver-seated): ``kind='wap'`` = single-commit
+    write-audit-publish with a poisoned first attempt (the full
+    _cdc_wap_audit flow); ``kind='branch'`` = a three-epoch backfill on
+    a writable branch, atomically fast-forward-published, with a
+    post-publish fence probe (the full _cdc_branch_publish flow).  Both
+    must land the identical full-stream LWW state — staging machinery
+    can never change the converged result."""
+    wap = _cdc_wap_audit(spark, sf).select(F.lit("wap").alias("kind"), *_CDC_STATE_COLS)
+    br = _cdc_branch_publish(spark, sf).select(
+        F.lit("branch").alias("kind"), *_CDC_STATE_COLS
+    )
+    return wap.unionByName(br)
+
+
 def _cdc_wipe_refresh(spark, sf):
     """Wipe/full-refresh (the reference's always_wipe_data) through the
     jobspec load layer: replay the first half, then an overwrite load of
@@ -1146,6 +1162,7 @@ def _cdc_evolution_e2e(spark, sf):
 
     st = _cdc_tmp_table(spark, sf, "spec")  # 8 buckets
     replay_batch(st, ev.filter(F.col("event_seq") <= mx // 2), epoch_id=0)
+    mid_snap = st.current_snapshot()["snapshot_id"]
     evolve_buckets(st, 32)
     replay_batch(st, ev.filter(F.col("event_seq") > mx // 2), epoch_id=1)
     mixed = _spec_state(st, "spec-mixed")
@@ -1153,7 +1170,18 @@ def _cdc_evolution_e2e(spark, sf):
     if st.current_snapshot().get("legacy"):
         raise AssertionError("migrate_legacy left retired-layout files behind")
     migrated = _spec_state(st, "spec-migrated")
-    return schema_half.unionByName(mixed).unionByName(migrated)
+    # snapshot TIME TRAVEL across the spec evolution (r5-late: carries the
+    # former cdc_time_travel seat): read AS OF the pre-evolution snapshot
+    # — the old 8-bucket layout must still resolve exactly
+    asof = st.read(snapshot_id=mid_snap).select(
+        F.lit("as-of").alias("kind"),
+        "repo", "path", F.col("lang").alias("language"), "content",
+        "content_sha256", "last_commit", "last_event_seq",
+        F.lit(None).cast("long").alias("size_bytes"),
+    )
+    return (
+        schema_half.unionByName(mixed).unionByName(migrated).unionByName(asof)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1226,11 +1254,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _corpus_sample,
         "corpus_pack": _corpus_pack,
         "corpus_decontaminate": _corpus_decontaminate,
-        # -- end-to-end CDC engine queries (the build's core)
+        # -- end-to-end CDC engine queries (the build's core; r5-late the
+        # time-travel check rides cdc_evolution_e2e's 'as-of' tag, freeing
+        # this seat for the fused WAP+branch staging row)
         "cdc_replay_e2e": _cdc_replay_e2e,
         "cdc_changes": _cdc_changes,
         "cdc_evolution_e2e": _cdc_evolution_e2e,
-        "cdc_time_travel": _cdc_time_travel,
+        "cdc_staging_e2e": _cdc_staging_e2e,
         "cdc_lineage": _cdc_lineage,
         "cdc_append_wipe": _cdc_append_wipe,
         "cdc_mv_incremental": _cdc_mv_incremental,
@@ -1265,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": _cdc_point_lookup,
         "cdc_wap_audit": _cdc_wap_audit,
         "cdc_branch_publish": _cdc_branch_publish,
+        "cdc_time_travel": _cdc_time_travel,
     }
 
 
@@ -1950,6 +1981,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_evolution_e2e": (
             f"WITH ev AS ({_CDC_EV_SQL}), "
             "thr AS (SELECT max(event_seq) // 3 AS t1 FROM ev), "
+            "h AS (SELECT max(event_seq) // 2 AS t FROM ev), "
             "w AS (SELECT *, row_number() OVER "
             "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev), "
             "s AS (SELECT repo, path, lang AS language, content, "
@@ -1957,14 +1989,23 @@ def oracle_sql() -> dict[str, str]:
             "event_seq AS last_event_seq, "
             "CASE WHEN event_seq > (SELECT t1 FROM thr) "
             "THEN length(content) END AS size_bytes "
-            "FROM w WHERE rn = 1 AND op <> 'delete') "
+            "FROM w WHERE rn = 1 AND op <> 'delete'), "
+            # time travel: the LWW state of the FIRST HALF only (as-of the
+            # pre-evolution snapshot)
+            "w2 AS (SELECT e.*, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn "
+            "FROM ev e, h WHERE event_seq <= t) "
             "SELECT 'schema' AS kind, * FROM s "
             "UNION ALL SELECT 'spec-mixed' AS kind, repo, path, language, "
             "content, content_sha256, last_commit, last_event_seq, "
             "NULL::BIGINT AS size_bytes FROM s "
             "UNION ALL SELECT 'spec-migrated' AS kind, repo, path, language, "
             "content, content_sha256, last_commit, last_event_seq, "
-            "NULL::BIGINT AS size_bytes FROM s"
+            "NULL::BIGINT AS size_bytes FROM s "
+            "UNION ALL SELECT 'as-of' AS kind, repo, path, lang AS language, "
+            "content, sha256(content) AS content_sha256, cmt AS last_commit, "
+            "event_seq AS last_event_seq, NULL::BIGINT AS size_bytes "
+            "FROM w2 WHERE rn = 1 AND op <> 'delete'"
         ),
         # point lookup: the probe set is every live repo-7 key (plus one
         # known miss) — the oracle recomputes exactly those rows from the
@@ -1976,6 +2017,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT repo, path, lang, content, sha256(content) AS content_sha256, "
             "cmt AS last_commit, event_seq AS last_event_seq "
             "FROM w WHERE rn = 1 AND op <> 'delete' AND repo = 'repo-7'"
+        ),
+        # both staging surfaces (single-commit WAP with poisoned first
+        # attempt + multi-epoch branch with fence probe) must land the
+        # SAME full-stream LWW state — one CTE, two tags
+        "cdc_staging_e2e": (
+            f"WITH ev AS ({_CDC_EV_SQL}), "
+            "w AS (SELECT *, row_number() OVER "
+            "(PARTITION BY repo, path ORDER BY event_seq DESC) AS rn FROM ev), "
+            "s AS (SELECT repo, path, lang, content, sha256(content) AS "
+            "content_sha256, cmt AS last_commit, event_seq AS last_event_seq "
+            "FROM w WHERE rn = 1 AND op <> 'delete') "
+            "SELECT 'wap' AS kind, * FROM s "
+            "UNION ALL SELECT 'branch' AS kind, * FROM s"
         ),
         # branch backfill: two epochs staged on a branch + atomic publish
         # must land exactly the plain three-epoch replay state

@@ -66,7 +66,7 @@ FIRST_50 = [
     "knn_ann",
     "text_analysis", "text_token_stats",
     "corpus_sample", "corpus_pack", "corpus_decontaminate",
-    "cdc_replay_e2e", "cdc_changes", "cdc_evolution_e2e", "cdc_time_travel",
+    "cdc_replay_e2e", "cdc_changes", "cdc_evolution_e2e", "cdc_staging_e2e",
     "cdc_lineage", "cdc_append_wipe", "cdc_mv_incremental", "cdc_stream_e2e",
 ]
 
@@ -111,7 +111,7 @@ def test_cdc_e2e_queries_match_duckdb(spark):
     )
     for name in (
         "cdc_replay_e2e", "cdc_changes", "cdc_evolution_e2e",
-        "cdc_append_wipe", "cdc_mv_incremental",
+        "cdc_staging_e2e", "cdc_append_wipe", "cdc_mv_incremental",
     ):
         got = qs[name](spark, sf).toPandas()
         exp = con.execute(oracles[name]).df()
