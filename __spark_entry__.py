@@ -1193,10 +1193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (replay carries tagged cow+mor halves; append+wipe share a tagged
     row; the incremental-MV refresh holds the freed seat since r5; late
     r5 the two source scans fused into scan_sources' tagged halves,
-    seating validate_quarantine — the declarative row-validation pass).
+    seating validate_quarantine — the declarative row-validation pass;
+    later still, evolution carries schema + bucket-spec + migration +
+    as-of time-travel tags, freeing the time-travel seat for
+    cdc_staging_e2e — WAP and branch-publish as tagged halves).
     Redundant-coverage variants (salted LWW, cube/grouping-sets beside
     rollup, sliding/session beside tumbling, the unfused text forms,
-    rows-only knn_ivf, standalone cdc_replay_mor/cdc_append/
+    rows-only knn_ivf, standalone cdc_time_travel/cdc_replay_mor/cdc_append/
     cdc_wipe_refresh/scan_parquet/scan_csv) sit past position 50; they
     stay fully callable and are still checked by tests/ and
     tools/check_oracle.py."""
