@@ -301,3 +301,36 @@ def test_migrated_keeps_write_one_file_per_target_bucket(spark, tmp_path):
     for b, fl in snap["buckets"].items():
         # 1 changed-rows file + at most 1 migrated-keeps file per bucket
         assert len(fl) <= 2, (b, [fe["path"] for fe in fl])
+
+
+def test_concurrent_evolution_forces_merge_recompute(spark, tmp_path):
+    """A merge whose basis snapshot was superseded by a bucket-spec
+    evolution must RECOMPUTE (its output files route by the retired
+    spec), never rebase — for both write modes.  Simulated exactly as
+    the CAS-loss path sees it: `_merge_once` invoked against the stale
+    pre-evolution snapshot."""
+    from rocket_etl_spark.lake.merge import _merge_once
+    from rocket_etl_spark.streaming.replay import prepare_events, sha256_derived
+
+    events = change_events(spark, 2_000, seed=97, delete_frac=0.1)
+    batches = _epoch_slices(events, 2, 1_000)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    replay_batch(t, batches[0], epoch_id=0)
+    stale = t.current_snapshot()  # basis BEFORE the concurrent evolution
+    evolve_buckets(t, 16)
+
+    prepared = prepare_events(batches[1], defer_hash=True)
+    for mode in ("cow", "mor"):
+        res = _merge_once(
+            t, prepared, stale, 1, None, "default",
+            derived_cols=sha256_derived(), mode=mode,
+        )
+        assert res is None, mode  # spec changed -> recompute, not rebase
+    # the normal retry loop lands the epoch correctly under the new spec
+    res2 = replay_batch(t, batches[1], epoch_id=1)
+    assert not res2.skipped
+    pd.testing.assert_frame_equal(
+        _state(t),
+        replay_oracle([b.toPandas() for b in batches]),
+        check_dtype=False,
+    )
