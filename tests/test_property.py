@@ -140,7 +140,10 @@ def maintenance_plan(draw):
         mode = draw(st.sampled_from(["cow", "cow", "mor"]))
         action = draw(
             st.sampled_from(
-                ["none", "none", "evolve", "compact", "migrate", "expire"]
+                [
+                    "none", "none", "evolve", "compact", "migrate", "expire",
+                    "branch", "branch-drop",
+                ]
             )
         )
         nb = draw(st.sampled_from([2, 3, 5, 8, 16]))
@@ -167,14 +170,35 @@ def test_chaos_maintenance_interleavings_match_oracle(
         expire_snapshots,
     )
 
+    from rocket_etl_spark.lake.branch import (
+        branch_table,
+        create_branch,
+        drop_branch,
+        publish_branch,
+    )
+
     tmp = tmp_path_factory.mktemp("chaos")
     table = create_repo_files_table(spark, tmp / "t", num_buckets=4)
     pdfs = []
     for i, rows in enumerate(batches):
         mode, action, nb = plan[i % len(plan)]
         pdf = pd.DataFrame(rows)
-        pdfs.append(pdf)
         df = spark.createDataFrame(pdf, EVENTS_DDL)
+        if action == "branch":
+            # the epoch arrives via a staged branch + atomic publish —
+            # must be indistinguishable from a direct merge
+            create_branch(table, f"b{i}")
+            replay_batch(branch_table(table, f"b{i}"), df, epoch_id=i, mode=mode)
+            publish_branch(table, f"b{i}")
+            pdfs.append(pdf)
+            continue
+        if action == "branch-drop":
+            # staged but dropped: the epoch must leave NO trace in state
+            create_branch(table, f"d{i}")
+            replay_batch(branch_table(table, f"d{i}"), df, epoch_id=i, mode=mode)
+            drop_branch(table, f"d{i}")
+            continue  # deliberately NOT in the oracle's delivered set
+        pdfs.append(pdf)
         replay_batch(table, df, epoch_id=i, mode=mode)
         if action == "evolve":
             try:
