@@ -334,3 +334,40 @@ def test_concurrent_evolution_forces_merge_recompute(spark, tmp_path):
         replay_oracle([b.toPandas() for b in batches]),
         check_dtype=False,
     )
+
+
+def test_double_evolution_with_repeated_width(spark, tmp_path):
+    """Two evolutions, the second returning to the ORIGINAL width: two
+    retired layouts coexist, one sharing num_buckets with the current
+    spec — spec_id (not width) must key the legacy bookkeeping.  Reads,
+    merges, lookups, and bulk migration stay exact across all three
+    eras."""
+    events = change_events(spark, 6_000, seed=101, delete_frac=0.1)
+    batches = _epoch_slices(events, 3, 2_000)
+    t = create_repo_files_table(spark, tmp_path / "t", num_buckets=4)
+    ref = create_repo_files_table(spark, tmp_path / "ref", num_buckets=4)
+
+    replay_batch(t, batches[0], epoch_id=0)
+    evolve_buckets(t, 16)
+    replay_batch(t, batches[1], epoch_id=1)
+    evolve_buckets(t, 4)  # back to the original width
+    replay_batch(t, batches[2], epoch_id=2)
+    for i, b in enumerate(batches):
+        replay_batch(ref, b, epoch_id=i)
+
+    snap = t.current_snapshot()
+    assert snap["num_buckets"] == 4 and snap["spec_id"] == 2
+    assert len({l["spec_id"] for l in snap.get("legacy", [])}) == len(
+        snap.get("legacy", [])
+    )
+    pd.testing.assert_frame_equal(_state(ref), _state(t), check_dtype=False)
+
+    # a key from the FIRST era must be findable through all layouts
+    some = [tuple(r) for r in ref.read().select("repo", "path").limit(3).collect()]
+    got, stats = lookup(t, some, return_stats=True)
+    assert got.count() == len(some)
+    assert stats["files_scanned"] <= stats["files_total"]
+
+    compact(t, migrate_legacy=True)
+    assert not t.current_snapshot().get("legacy")
+    pd.testing.assert_frame_equal(_state(ref), _state(t), check_dtype=False)
