@@ -134,7 +134,6 @@ _BLOOM_SAFE_DTYPES = {
     "bigint", "long", "date", "boolean", "binary",
 }
 
-
 def _bloom_safe_keys(schema, keys) -> bool:
     try:
         return all(
@@ -660,7 +659,19 @@ def _merge_broadcast(
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"_t_{k}"))
         cond = c if cond is None else cond & c
-    act = winners.join(t_slim, cond, "left_outer")
+    # Only table rows whose key matches a winner key can influence the
+    # decision, so pre-filter the table side with a broadcast LEFT SEMI
+    # against the winner keys (same null-safe equality — no false drops)
+    # before the outer join.  Without this the outer join sort-merges the
+    # ENTIRE touched-bucket slim relation against the (small) winner set:
+    # an exchange + sort of O(table slice) rows per epoch.  With it the
+    # table side streams through a map-side hash probe (never shuffled),
+    # and the remaining outer join is winner-set vs ≤ winner-set sized.
+    if _os.environ.get("SPARK_GRAFT_DECIDE_SEMI", "1") != "0":
+        t_hit = t_slim.join(F.broadcast(winners.select(*keys)), cond, "left_semi")
+    else:
+        t_hit = t_slim
+    act = winners.join(t_hit, cond, "left_outer")
     if read_matched is not None and cache_registry is not None:
         # the matched-file collect materializes act anyway; caching the
         # SLIM relation (keys + ords + flags + file name) lets the win
@@ -1296,7 +1307,12 @@ def _merge_once(
             def read_matched(fnames):
                 rel = _rel_paths(table.path, fnames)
                 # current-spec keeps: bucket placement unchanged — stream
-                # scan→parquet with no exchange (tight=False)
+                # scan→parquet with no exchange (tight=False).  (An r6
+                # experiment replaced this with a union of per-bucket
+                # scans to get bucket-contiguous tasks and tighter output
+                # files; the 64-way union regressed the incremental merge
+                # 5x — per-child planning and stage overhead dwarf the
+                # file-count savings — so the single scan stands.)
                 srcs = [(
                     _project(
                         table.read(
@@ -1350,15 +1366,30 @@ def _merge_once(
         _mark("decide")  # broadcast: incl. the matched-file collect
         out_dir_rel = f"data/commit-{commit_tag}"
         out_dir = table.path / out_dir_rel
-        for i, (part, tight) in enumerate(outputs):
-            writer = (
-                # one shuffle partition per touched bucket keeps file counts
-                # tight for the changed-rows side; the keep side is written
-                # straight out of its (bucket-contiguous) scan partitions —
-                # repartitioning it would put the payload back on the wire
-                part.repartition(max(len(touched), 1), "_bucket") if tight else part
-            ).write.partitionBy("_bucket")
-            (writer if i == 0 else writer.mode("append")).parquet(str(out_dir))
+        # ONE write job for every output side: union preserves each
+        # side's partitioning (the changed side keeps its one-partition-
+        # per-touched-bucket shuffle, the keep side keeps its exchange-
+        # free scan partitions), so this merely removes the per-side job
+        # scheduling round-trips and lets the keep scan backfill cores
+        # while the changed side's exchange drains (guide §2.6).
+        sides = [
+            # tight sides (changed rows, legacy migrations): placement
+            # changes, so route through a bucket-hash exchange; the keep
+            # side is written straight out of its (bucket-contiguous)
+            # scan partitions — repartitioning it would put the payload
+            # back on the wire
+            part.repartition(max(len(touched), 1), "_bucket") if tight else part
+            for part, tight in outputs
+        ]
+        if _os.environ.get("SPARK_GRAFT_SINGLE_WRITE", "1") != "0":
+            combined = sides[0]
+            for p in sides[1:]:
+                combined = combined.unionByName(p)
+            combined.write.partitionBy("_bucket").parquet(str(out_dir))
+        else:
+            for i, part in enumerate(sides):
+                writer = part.write.partitionBy("_bucket")
+                (writer if i == 0 else writer.mode("append")).parquet(str(out_dir))
         for bdir in sorted(out_dir.glob("_bucket=*")):
             b = int(bdir.name.split("=")[1])
             files = [

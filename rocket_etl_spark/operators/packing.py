@@ -126,14 +126,18 @@ def pack_sequences(
     don't grow the function registry — and the input temp view is
     dropped as soon as the plan is analyzed (``spark.sql`` resolves the
     view eagerly; the returned DataFrame keeps the resolved relation).
-    The handler is per-row by contract (a sequential fold), but the
-    row EXCHANGE to the Python worker is Arrow-batched
-    (``spark.sql.execution.pythonUDTF.arrow.enabled``) — at corpus
-    scale the pickled-row serialization delta is real."""
+    The row exchange to the Python worker uses PICKLED rows, set
+    explicitly: an interleaved A/B at sf0.1 and 10x (OPTIMIZATION_r06)
+    measured the Arrow-batched UDTF exchange 2.3-3.6x SLOWER here —
+    ``eval`` is called per row either way (useArrow only changes
+    serialization), the input columns are slim (a string, two ints), and
+    Arrow's per-batch columnar conversion is pure overhead at that row
+    shape.  Arrow would only pay if wide text columns crossed the
+    boundary, which this packing input never ships."""
     import hashlib
 
     spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "false")
     cfg = hashlib.md5(
         f"{budget}|{part_col}|{id_col}|{weight_col}".encode()
     ).hexdigest()[:12]
