@@ -73,6 +73,14 @@ def main() -> None:
     args = ap.parse_args()
 
 
+    if args.branch and args.audit_rules:
+        # stage_merge rebases on the MAIN tip, so an audited micro-batch
+        # onto a non-empty branch would merge against a base missing the
+        # branch's prior epochs and publish would always conflict —
+        # audit a branch with audit_branch + publish_branch instead
+        ap.error("--audit-rules does not compose with --branch: replay "
+                 "onto the branch un-audited, then audit_branch + "
+                 "--publish-branch gate the whole chain")
     spark = build_session(app_name="cdc-replay")
     audit_rules = None
     if args.audit_rules:

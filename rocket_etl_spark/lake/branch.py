@@ -108,8 +108,7 @@ class _BranchTable(LakeTable):
     def current_snapshot(self) -> dict | None:
         chain = _chain_files(self, self._name)
         if chain:
-            with open(chain[-1]) as f:
-                return json.load(f)
+            return self._read_snapshot_file(chain[-1])
         return self.snapshot(self._fork_id)
 
     def _try_write_snapshot(self, snap: dict) -> bool:
@@ -120,6 +119,11 @@ class _BranchTable(LakeTable):
             "branch": self._name,
             "committed_at_ms": int(_time.time() * 1000),
         }
+        # branch commits externalize bucket lists exactly like main-chain
+        # commits (untouched buckets re-reference their manifests), so a
+        # long backfill branch pays O(touched) per epoch too and publish
+        # re-uses the same manifest names
+        snap = self._externalize_snapshot(snap)
         return _cas_write(
             self.snap_dir / f"branch-{self._name}-{snap['snapshot_id']:08d}.json",
             snap,

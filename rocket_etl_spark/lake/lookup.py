@@ -38,6 +38,7 @@ metadata lives in the snapshot JSON, bounded at ~1 KB per small file.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -146,8 +147,161 @@ def lookup(
         buckets=touched, file_subset=file_subset, snap=snap,
         legacy_buckets=leg_touched,
     )
-    out = df.join(F.broadcast(keys_df), on=list(keys), how="left_semi")
+    # null-SAFE key equality, matching the merge engine (which treats a
+    # null key part as a real key group via eqNullSafe throughout): a
+    # probe tuple containing NULL finds its row instead of silently
+    # returning nothing (advisor finding, r5)
+    probe_df = keys_df
+    for k in keys:
+        probe_df = probe_df.withColumnRenamed(k, f"_p_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_p_{k}"))
+        cond = c if cond is None else cond & c
+    out = df.join(F.broadcast(probe_df), cond, "left_semi")
     return (out, stats) if return_stats else out
+
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+_LIT = r"(?:'(?:[^']*)'|-?\d+(?:\.\d+)?)"
+_CONJUNCT_RE = re.compile(
+    rf"^\s*({_IDENT})\s*(>=|<=|==|=|>|<)\s*({_LIT})\s*$"
+)
+_BETWEEN_RE = re.compile(
+    rf"^\s*({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})\s*$", re.IGNORECASE
+)
+
+
+def _parse_prunable_conjuncts(predicate: str, schema) -> dict[str, tuple]:
+    """Best-effort extraction of zone-map-prunable bounds from a SQL
+    predicate: top-level conjunctions of ``col <op> literal`` /
+    ``col BETWEEN a AND b`` over zone-map-supported columns.
+
+    STRICTLY conservative: anything this parser does not understand — a
+    disjunction, parentheses, NOT, a function call, an unsupported dtype,
+    a literal that does not fit the column's type — contributes NO bound
+    (the file is read; the residual predicate still applies exactly), so
+    a parse miss can only cost speed, never rows.  Returns
+    ``{col: (lo, hi)}`` with either bound possibly None."""
+    from rocket_etl_spark.lake.merge import _range_canon, _range_safe_cols
+
+    if re.search(r"\(|\bOR\b|\bNOT\b|\bIN\b", predicate, re.IGNORECASE):
+        return {}
+    safe = set(_range_safe_cols(schema))
+    out: dict[str, tuple] = {}
+
+    def lit_val(raw: str, dt: str):
+        if raw.startswith("'"):
+            return raw[1:-1] if dt in ("string", "varchar", "char", "date") else None
+        if dt in ("string", "varchar", "char", "date", "binary", "boolean"):
+            return None
+        if "." in raw:
+            return None  # float literal vs int zone map: skip, stay safe
+        return int(raw)
+
+    # split on top-level AND; BETWEEN is rewritten to two conjuncts first
+    pred = re.sub(
+        rf"({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})",
+        r"\1 >= \2 AND \1 <= \3",
+        predicate,
+        flags=re.IGNORECASE,
+    )
+    for part in re.split(r"\bAND\b", pred, flags=re.IGNORECASE):
+        m = _CONJUNCT_RE.match(part)
+        if not m:
+            continue
+        col, op, raw = m.group(1), m.group(2), m.group(3)
+        if col not in safe:
+            continue
+        dt = schema.field_by_name(col).dtype.lower().split("(")[0].strip()
+        v = lit_val(raw, dt)
+        if v is None:
+            continue
+        cv = _range_canon(v, dt)
+        lo, hi = out.get(col, (None, None))
+        if op in (">", ">="):  # strict > keeps the inclusive bound: superset, safe
+            lo = cv if lo is None else max(lo, cv)
+        elif op in ("<", "<="):
+            hi = cv if hi is None else min(hi, cv)
+        else:  # = / ==
+            lo = cv if lo is None else max(lo, cv)
+            hi = cv if hi is None else min(hi, cv)
+        out[col] = (lo, hi)
+    return out
+
+
+def filtered_read(
+    table: LakeTable,
+    predicate: str,
+    snapshot_id: int | None = None,
+    return_stats: bool = False,
+    skip_cols: set | frozenset = frozenset(),
+    residual: bool = True,
+) -> DataFrame | tuple[DataFrame, dict]:
+    """``table.read().filter(predicate)`` with automatic zone-map file
+    pruning — the declarative-read surface the ``range_scan`` machinery
+    deserves: real users write a SQL ``filter``, not a pruning API.
+
+    The predicate's prunable conjuncts (``col <op> literal``, BETWEEN —
+    see ``_parse_prunable_conjuncts``) skip every file whose per-column
+    min/max provably excludes them; the FULL predicate then re-applies
+    as a residual on the surviving files, so the answer is always
+    identical to the unpruned read (pruning has no false negatives by
+    construction; a parse miss just reads more files).
+
+    ``skip_cols``: columns that may NOT contribute bounds (a caller whose
+    downstream transform renames/derives over them — jobspec.extract).
+    ``residual=False`` returns the pruned read WITHOUT applying the
+    predicate — only for callers that apply it themselves downstream."""
+    snap = (
+        table.snapshot(snapshot_id) if snapshot_id is not None
+        else table.current_snapshot()
+    )
+    schema = TableSchema.from_json(
+        snap["schemas"][str(snap["current_schema_version"])]
+    )
+    bounds = _parse_prunable_conjuncts(predicate, schema)
+    for c in set(bounds) & set(skip_cols):
+        del bounds[c]
+    subset: set[str] | None = None
+    total = scanned = 0
+    all_file_lists = list(snap["buckets"].values()) + [
+        fl
+        for l in (snap.get("legacy") or [])
+        for fl in l["buckets"].values()
+    ]
+    if bounds:
+        subset = set()
+        for files in all_file_lists:
+            for fe in files:
+                total += 1
+                skip = False
+                for c, (clo, chi) in bounds.items():
+                    kr = (fe.get("kr") or {}).get(c)
+                    if kr is not None and (
+                        (chi is not None and kr[0] > chi)
+                        or (clo is not None and kr[1] < clo)
+                    ):
+                        skip = True
+                        break
+                if not skip:
+                    subset.add(fe["path"])
+                    scanned += 1
+        if scanned == total:
+            subset = None  # nothing pruned — skip subset bookkeeping
+    else:
+        total = sum(len(fl) for fl in all_file_lists)
+        scanned = total
+    df = table.read(file_subset=subset, snap=snap)
+    if residual:
+        df = df.filter(predicate)
+    if not return_stats:
+        return df
+    return df, {
+        "files_scanned": scanned if subset is not None else total,
+        "files_total": total,
+        "pruned_on": sorted(bounds),
+    }
 
 
 def range_scan(

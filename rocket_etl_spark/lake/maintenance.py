@@ -280,8 +280,11 @@ def _compact_once(
     # the new single file (or [] when a purge emptied the bucket).  Rows
     # MIGRATED out of a retired layout may scatter into buckets outside
     # ``cand`` — those append (their keys had no current-spec row).
+    # untouched buckets keep their (manifest-marked) lists by reference —
+    # never mutated, only replaced below — so the commit re-serializes
+    # only the rewritten buckets' manifests
     new_buckets: dict[str, list] = {
-        b: list(fl) for b, fl in snap["buckets"].items() if int(b) not in set(cand)
+        b: fl for b, fl in snap["buckets"].items() if int(b) not in set(cand)
     }
     for b in cand:
         new_buckets[str(b)] = []
@@ -675,6 +678,17 @@ def expire_snapshots(
     from rocket_etl_spark.lake.metadata import list_tags
 
     tagged_ids = set(list_tags(table).values())
+    # a LIVE branch's fork snapshot is load-bearing even before the
+    # branch's first commit (the branch head resolves to the fork):
+    # expiring it would GC data files the branch still references.  Pin
+    # every live branch's fork id exactly like a tag until the branch is
+    # published or dropped.
+    for ref_p in table.snap_dir.glob("branchref-*.json"):
+        try:
+            with open(ref_p) as f:
+                tagged_ids.add(int(json.load(f)["fork_id"]))
+        except (OSError, ValueError, KeyError):
+            continue
     if tagged_ids and drop:
         def _sid(p):
             m = _re.search(r"snapshot-(\d+)\.json$", p.name)
@@ -685,16 +699,25 @@ def expire_snapshots(
         drop = [p for p in drop if _sid(p) not in tagged_ids]
 
     def _refs(paths):
+        """(data file paths, manifest names) referenced by snapshots."""
         out: set[str] = set()
+        mans: set[str] = set()
+
+        def bucket_files(bm):
+            for v in bm.values():
+                if isinstance(v, str):  # manifest reference
+                    mans.add(v)
+                    yield from table._manifest_entries(v)
+                else:
+                    yield from v
+
         for p in paths:
             with open(p) as f:
-                s = json.load(f)
-            for files in s["buckets"].values():
-                out.update(fe["path"] for fe in files)
+                s = json.load(f)  # raw: refs recorded before resolving
+            out.update(fe["path"] for fe in bucket_files(s["buckets"]))
             for layout in s.get("legacy") or []:
                 # retired-bucket-layout files are just as live
-                for files in layout["buckets"].values():
-                    out.update(fe["path"] for fe in files)
+                out.update(fe["path"] for fe in bucket_files(layout["buckets"]))
             # changelog attribution: a published-branch snapshot's
             # added_files may reference files a mid-branch compaction
             # already superseded in its buckets — ``changes()`` still
@@ -702,7 +725,7 @@ def expire_snapshots(
             # retained (on ordinary snapshots added ⊆ buckets: no-op)
             for files in (s.get("added_files") or {}).values():
                 out.update(fe["path"] for fe in files)
-        return out
+        return out, mans
 
     # live staged commits (write-audit-publish, lake/wap.py) and live
     # BRANCHES (lake/branch.py — multi-commit staging) reference
@@ -712,8 +735,11 @@ def expire_snapshots(
         list(table.snap_dir.glob("staged-*.json"))
         + list(table.snap_dir.glob("branch-*.json"))
     )
-    referenced = _refs(keep) | _refs(staged)
-    expired_refs = _refs(drop)
+    live_refs, live_mans = _refs(keep)
+    staged_refs, staged_mans = _refs(staged)
+    referenced = live_refs | staged_refs
+    live_mans |= staged_mans
+    expired_refs, expired_mans = _refs(drop)
 
     now = _time.time()
     files_removed = 0
@@ -730,10 +756,29 @@ def expire_snapshots(
                 continue
             data_file.unlink()
             files_removed += 1
+    # manifest GC mirrors the data-file rule exactly: a manifest is
+    # CONTENT-addressed and may be shared by many snapshots (expired and
+    # live), so only manifests referenced by NO surviving snapshot go —
+    # immediately when an expired snapshot referenced them, age-guarded
+    # when nothing references them at all (an in-flight commit may have
+    # durably written its manifests just before its snapshot CAS).
+    manifests_removed = 0
+    if table.man_dir.exists():
+        for man_file in table.man_dir.glob("man-*.json"):
+            if man_file.name in live_mans:
+                continue
+            if (
+                man_file.name in expired_mans
+                or now - man_file.stat().st_mtime >= orphan_min_age_s
+            ):
+                manifests_removed += 1
+                if not dry_run:
+                    man_file.unlink(missing_ok=True)
     if dry_run:
         return {
             "snapshots_removed": len(drop),
             "files_removed": files_removed,
+            "manifests_removed": manifests_removed,
             "dry_run": True,
             "sample": doomed,
         }
@@ -746,4 +791,8 @@ def expire_snapshots(
 
     for p in drop:
         p.unlink()
-    return {"snapshots_removed": len(drop), "files_removed": files_removed}
+    return {
+        "snapshots_removed": len(drop),
+        "files_removed": files_removed,
+        "manifests_removed": manifests_removed,
+    }

@@ -329,21 +329,23 @@ class MaterializedAggregate:
         batch = refreshed.withColumn(_SRC_SNAP_COL, F.lit(to_snap)).withColumn(
             "op", F.lit("upsert")
         )
-        n_deleted = 0
         if plan["gone_rows"] is not None:
-            n_deleted = plan["gone_rows"].count()
-            if n_deleted:
-                batch = batch.unionByName(plan["gone_rows"])
+            batch = batch.unionByName(plan["gone_rows"])
 
         try:
-            # cached in recompute mode, so this count re-runs nothing big
-            n_refreshed = (
-                refreshed.count() if mode == "recompute" else int(plan["stats"]["dirty"])
-            )
-            merge_batch(self.table, batch, epoch_id=to_snap, app_id=_MV_APP_ID)
+            res = merge_batch(self.table, batch, epoch_id=to_snap, app_id=_MV_APP_ID)
         finally:
             if mode == "recompute":
                 refreshed.unpersist()
+        if mode == "additive":
+            n_refreshed, n_deleted = int(plan["stats"]["dirty"]), 0
+        else:
+            # counts ride the MERGE's own stats (its planning aggregation
+            # already counted the batch): every gone-group row is a delete
+            # of an existing MV row, so rows_deleted IS the gone count —
+            # this replaces two extra count() jobs per refresh (r6)
+            n_deleted = res.rows_deleted
+            n_refreshed = res.rows_in - n_deleted
         self.spec["last_snapshot"] = to_snap
         _write_spec(self.path, self.spec)
         return RefreshResult(

@@ -214,7 +214,15 @@ def _trunc_bounds(lo, hi):
         hi = None
         for i in range(len(p) - 1, -1, -1):
             if ord(p[i]) < 0x10FFFF:
-                hi = p[:i] + chr(ord(p[i]) + 1)
+                # skip the surrogate range (like Iceberg's truncate): an
+                # incremented U+D7FF would be a lone surrogate that
+                # json.dump emits as an unpaired \ud800 escape — valid
+                # for Python but invalid strict JSON for other readers.
+                # U+E000 > every surrogate, so the bound stays safe.
+                nxt = ord(p[i]) + 1
+                if 0xD800 <= nxt <= 0xDFFF:
+                    nxt = 0xE000
+                hi = p[:i] + chr(nxt)
                 break
     return lo, hi
 
@@ -920,7 +928,10 @@ def _merge_mor_commit(
 
     base = snap
     while True:
-        new_buckets = {b: list(fl) for b, fl in base["buckets"].items()}
+        # untouched buckets keep their manifest-marked lists by reference
+        # (never mutated — touched ones are REPLACED via + below), so the
+        # snapshot write re-serializes only the touched buckets
+        new_buckets = dict(base["buckets"])
         for b in touched:
             new_buckets[str(b)] = new_buckets.get(str(b), []) + out_files.get(b, [])
         schemas = dict(base["schemas"])
@@ -1617,7 +1628,8 @@ def append_batch(
 
     base = snap
     while True:
-        new_buckets = {b: list(fl) for b, fl in base["buckets"].items()}
+        # untouched buckets keep their manifest-marked lists by reference
+        new_buckets = dict(base["buckets"])
         for b, fl in out_files.items():
             new_buckets[b] = new_buckets.get(b, []) + fl
         fences = table.fences(base)

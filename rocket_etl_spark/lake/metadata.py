@@ -166,8 +166,7 @@ def snapshots(table: LakeTable) -> DataFrame:
     tip = table.current_snapshot()
     tip_id = tip["snapshot_id"] if tip else None
     for p in table._snapshot_files():
-        with open(p) as f:
-            snap = json.load(f)
+        snap = table._read_snapshot_file(p)  # resolves bucket manifests
         stats = snap.get("stats") or {}
         rows.append(
             (

@@ -50,6 +50,50 @@ from rocket_etl_spark.schema.registry import TableSchema, project_to
 
 _SNAP_RE = re.compile(r"snapshot-(\d{8})\.json$")
 
+# ---- per-bucket snapshot manifests -------------------------------------
+# A snapshot used to inline its ENTIRE ``buckets`` file map (every file
+# entry, each carrying up to ~1.4 KB of bloom + zone-map metadata), so
+# every commit re-serialized + fsynced O(live files x per-file metadata)
+# of JSON — the one per-epoch driver cost that grew with TABLE size
+# rather than epoch size on the trickle-CDC regime.  Snapshots now store
+# each bucket's file list as a reference to a CONTENT-ADDRESSED manifest
+# file (``snapshots/manifests/man-<sha256[:24]>.json``), written once and
+# shared by every snapshot whose bucket is unchanged — Iceberg's manifest
+# tree, restricted to one level because buckets already partition the
+# file map.  A commit therefore writes only its touched buckets'
+# manifests plus a thin snapshot; unchanged buckets re-use their
+# manifest BY NAME (no re-serialization: resolved lists carry their
+# manifest name, see _ManifestList).  Reads resolve references through a
+# bounded in-process cache keyed by (dir, name) — manifests are
+# immutable once written, so cached parses never go stale.  Pre-manifest
+# snapshots (inline lists) keep loading unchanged.
+_MANIFEST_CACHE: "dict[tuple[str, str], list]" = {}
+_MANIFEST_CACHE_MAX = 8192
+
+
+def _man_cache_put(key: tuple, entries: list) -> None:
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        # drop an arbitrary ~eighth: manifests are tiny and re-parseable,
+        # exactness doesn't matter, bounding memory does
+        for k in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_MAX // 8]:
+            del _MANIFEST_CACHE[k]
+    _MANIFEST_CACHE[key] = entries
+
+
+class _ManifestList(list):
+    """A bucket file list resolved from (or already persisted to) a
+    content-addressed manifest; ``man`` is the manifest file name.  The
+    marker is what lets ``_try_write_snapshot`` re-reference an untouched
+    bucket without re-serializing its entries.  Any code that CHANGES a
+    bucket's list builds a plain list (never mutates in place), so a
+    surviving marker is proof the content is unchanged."""
+
+    __slots__ = ("man",)
+
+    def __init__(self, it=(), man: str | None = None):
+        super().__init__(it)
+        self.man = man
+
 
 def _fence_from_set(app_id: str, epochs: set) -> dict:
     """Exact {hwm, above} encoding of an arbitrary committed-epoch set."""
@@ -124,6 +168,7 @@ class LakeTable:
         self.spark = spark
         self.path = Path(path)
         self.snap_dir = self.path / "snapshots"
+        self.man_dir = self.snap_dir / "manifests"
         self.data_dir = self.path / "data"
 
     # ------------------------------------------------------------------ DDL
@@ -179,12 +224,107 @@ class LakeTable:
         files = self._snapshot_files()
         if not files:
             return None
-        with open(files[-1]) as f:
-            return json.load(f)
+        return self._read_snapshot_file(files[-1])
 
     def snapshot(self, snapshot_id: int) -> dict:
-        with open(self.snap_dir / f"snapshot-{snapshot_id:08d}.json") as f:
-            return json.load(f)
+        return self._read_snapshot_file(
+            self.snap_dir / f"snapshot-{snapshot_id:08d}.json"
+        )
+
+    # ------------------------------------------------- manifest plumbing
+    def _read_snapshot_file(self, p: Path | str) -> dict:
+        """Load + resolve one snapshot JSON (raises FileNotFoundError as
+        ``open`` does — callers rely on that for expired-history walks)."""
+        with open(p) as f:
+            return self._resolve_snapshot(json.load(f))
+
+    def _manifest_entries(self, name: str) -> "_ManifestList":
+        key = (str(self.man_dir), name)
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is None:
+            with open(self.man_dir / name) as f:
+                hit = json.load(f)
+            _man_cache_put(key, hit)
+        # shallow copy: callers may REPLACE the list in a new snapshot dict
+        # but never mutate entry dicts (engine-wide convention — fresh
+        # commits build fresh entry dicts), so sharing them is safe
+        return _ManifestList(hit, man=name)
+
+    def _resolve_snapshot(self, snap: dict) -> dict:
+        """Replace manifest references (string values in bucket maps) with
+        their resolved file-entry lists.  Inline lists (pre-manifest
+        snapshots, staged/branch snapshots) pass through untouched."""
+        def rb(bm: dict) -> dict:
+            return {
+                b: (self._manifest_entries(v) if isinstance(v, str) else v)
+                for b, v in bm.items()
+            }
+
+        if isinstance(snap.get("buckets"), dict):
+            snap["buckets"] = rb(snap["buckets"])
+        for layout in snap.get("legacy") or []:
+            if isinstance(layout.get("buckets"), dict):
+                layout["buckets"] = rb(layout["buckets"])
+        return snap
+
+    def _write_manifest(self, entries: list) -> str:
+        """Persist one bucket file list as a content-addressed manifest,
+        returning its name.  Identical content maps to an identical name,
+        so concurrent writers and shared buckets converge on one file
+        (EEXIST on the link is success)."""
+        import hashlib
+
+        payload = json.dumps(list(entries), sort_keys=True, separators=(",", ":"))
+        name = f"man-{hashlib.sha256(payload.encode()).hexdigest()[:24]}.json"
+        key = (str(self.man_dir), name)
+        if key not in _MANIFEST_CACHE:
+            final = self.man_dir / name
+            if not final.exists():
+                self.man_dir.mkdir(parents=True, exist_ok=True)
+                tmp = self.man_dir / f".tmp-{uuid.uuid4().hex}.json"
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                try:
+                    os.link(tmp, final)
+                except FileExistsError:
+                    pass  # same content already published — converged
+                finally:
+                    tmp.unlink(missing_ok=True)
+            _man_cache_put(key, json.loads(payload))
+        return name
+
+    def _externalize_snapshot(self, snap: dict) -> dict:
+        """The write-side inverse of ``_resolve_snapshot``: swap bucket
+        file lists for manifest references.  An unchanged bucket (still a
+        ``_ManifestList`` from resolution) re-uses its name with ZERO
+        serialization — the property that caps per-commit driver cost at
+        O(touched buckets); changed/new lists are hashed + written once.
+        Empty lists stay inline (no file needed); string values pass
+        through (already references, e.g. a republished branch head)."""
+        def ext(bm: dict) -> dict:
+            out = {}
+            for b, fl in bm.items():
+                if isinstance(fl, str) or not fl:
+                    out[b] = fl if isinstance(fl, str) else []
+                elif isinstance(fl, _ManifestList) and fl.man is not None:
+                    out[b] = fl.man
+                else:
+                    out[b] = self._write_manifest(fl)
+            return out
+
+        snap = dict(snap)
+        if isinstance(snap.get("buckets"), dict):
+            snap["buckets"] = ext(snap["buckets"])
+        if snap.get("legacy"):
+            snap["legacy"] = [
+                {**layout, "buckets": ext(layout["buckets"])}
+                if isinstance(layout.get("buckets"), dict)
+                else layout
+                for layout in snap["legacy"]
+            ]
+        return snap
 
     def fences(self, snap: dict | None = None) -> dict:
         """Per-app exactly-once fences from the tip snapshot:
@@ -239,8 +379,17 @@ class LakeTable:
         dict cloned from a parent snapshot must not inherit its parent's
         commit time): the durable clock behind timestamp time travel
         (``metadata.as_of``), like Iceberg's snapshot timestamp-ms.
+
+        Bucket file lists are externalized to content-addressed per-
+        bucket manifest files first (see the module-level manifest notes):
+        unchanged buckets re-reference their manifest by name, so the
+        JSON this writes — and the driver CPU serializing it — is
+        O(touched buckets + chain metadata), not O(live files).  Manifests
+        are durable (fsync) BEFORE the snapshot that references them
+        links into place, so a published snapshot never dangles.
         """
         snap = {**snap, "committed_at_ms": int(time.time() * 1000)}
+        snap = self._externalize_snapshot(snap)
         final = self.snap_dir / f"snapshot-{snap['snapshot_id']:08d}.json"
         tmp = self.snap_dir / f".tmp-{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:

@@ -129,6 +129,21 @@ def stage_merge(
     belongs after publish), and a COW stage onto merge-on-read
     delta-bearing buckets raises (the pre-merge delta fold is likewise
     a real commit; run ``compact()`` first)."""
+    from rocket_etl_spark.lake.branch import _BranchTable
+
+    if isinstance(table, _BranchTable):
+        # _StagingTable rebuilds from base.path and would base the staged
+        # MERGE on the MAIN tip, not the branch head — the first audited
+        # batch onto a non-empty branch would then merge against a base
+        # missing the branch's prior epochs and publish_staged would
+        # always conflict.  Refuse loudly instead of corrupting
+        # (advisor finding, r5); audit a branch with audit_branch +
+        # publish_branch, which exist for exactly this composition.
+        raise StageError(
+            "stage_merge does not compose with a branch table: the staged "
+            "merge would base on the main tip, not the branch head — use "
+            "replay into the branch + audit_branch/publish_branch instead"
+        )
     snap = table.current_snapshot()
     if mode == "cow" and any(
         fe.get("kind") == "delta"

@@ -123,6 +123,31 @@ def apply_validation(df: DataFrame, spec: JobSpec) -> DataFrame:
 
 
 def extract(spark: SparkSession, spec: JobSpec) -> DataFrame:
+    """Read the source; lake-table sources with a prunable ``filter``
+    get automatic zone-map FILE pruning (round-5 verdict item #4: users
+    write ``filter``, not a pruning API).
+
+    Safety: pruning only derives a per-column bound when the transform
+    leaves that column untouched (no rename/cast/null-norm/derive/drop
+    can change what the later ``filter`` sees), and the transform still
+    applies the full predicate as the residual — a pruned file set is a
+    no-false-negative superset, so the job's rows are identical."""
+    src = spec.source
+    if src.format.lower() == "lake" and spec.transform.filter:
+        from rocket_etl_spark.lake.lookup import filtered_read
+        from rocket_etl_spark.lake.table import LakeTable as _LT
+
+        t = _LT.load(spark, src.path)
+        tr = spec.transform
+        touched = (
+            set(tr.renames) | set(tr.renames.values()) | set(tr.derived)
+            | set(tr.casts) | set(tr.null_norm) | set(tr.drops)
+        )
+        df, stats = filtered_read(
+            t, tr.filter, return_stats=True, skip_cols=touched,
+            residual=False,  # transform() applies the predicate itself
+        )
+        return df
     return read_source(spark, spec.source)
 
 

@@ -54,6 +54,13 @@ def read_source(spark: SparkSession, src) -> DataFrame:
         except ImportError as e:  # pragma: no cover - env-dependent
             raise NotImplementedError(f"excel support needs a reader lib: {e}") from e
         return spark.createDataFrame(pdf)
+    if fmt == "lake":
+        # a lake table as a job source (downstream jobs over CDC-maintained
+        # tables); jobspec.extract routes filtered reads through zone-map
+        # file pruning before this plain form is reached
+        from rocket_etl_spark.lake.table import LakeTable
+
+        return LakeTable.load(spark, src.path).read()
     if fmt in ("http", "sftp", "remote"):
         # driver-side staging (reference HTTPConnector/SFTPConnector shape):
         # fetch src.path (a URL) into a local dir, then read it under the

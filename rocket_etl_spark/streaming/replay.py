@@ -456,6 +456,16 @@ def replay_stream(
             "rejected batches (the stream checkpoint marks them consumed) "
             "— give the rejects somewhere to land"
         )
+    if audit_rules and mor_compact_threshold is not None:
+        # staged commits don't auto-compact (compaction publishes real
+        # snapshots — it belongs after publish); accepting the parameter
+        # and ignoring it would let an audited MOR stream accumulate
+        # unbounded delta depth silently (advisor finding, r5)
+        raise ValueError(
+            "audit_rules and mor_compact_threshold do not compose: staged "
+            "commits cannot auto-compact — schedule compact() via "
+            "compact_every or run it after publishes instead"
+        )
     if app_id is None:
         import hashlib
 
