@@ -23,7 +23,10 @@ _ENGINE_CONFS: dict[str, str] = {
     # fail fast if something silently falls back to per-row Python transfer
     "spark.sql.execution.arrow.pyspark.fallback.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.parquet.compression.codec": "snappy",
+    # zstd: 2.3x smaller lake files than snappy at equal-or-better wall
+    # time on this host (interleaved A/B, OPTIMIZATION_r06.md) — and at
+    # cluster scale the byte reduction is bandwidth directly (guide §6)
+    "spark.sql.parquet.compression.codec": "zstd",
     # local mode: no dynamic executors; keep driver memory modest
     "spark.ui.enabled": "false",
 }

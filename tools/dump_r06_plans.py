@@ -57,8 +57,12 @@ def decide_plans(spark) -> None:
 
     lake = tempfile.mkdtemp(prefix="plans-r06-")
     table = create_repo_files_table(spark, f"{lake}/t", num_buckets=8)
-    replay_batch(table, change_events(spark, 20_000, seed=5), epoch_id=0)
-    batch = prepare_events(change_events(spark, 2_000, seed=6))
+    # bench-scale table: enough rows that the slim table relation's size
+    # estimate exceeds the auto-broadcast threshold, so the BEFORE plan
+    # shows its true sort-merge shape (at toy sizes the planner would
+    # broadcast the table side and hide the exchange this change removes)
+    replay_batch(table, change_events(spark, 500_000, seed=5), epoch_id=0)
+    batch = prepare_events(change_events(spark, 10_000, seed=6))
     keys, order_col = ["repo", "path"], "last_event_seq"
 
     winners = batch.groupBy(*keys).agg(
